@@ -1,0 +1,80 @@
+"""Benchmark: training throughput of the flagship RNN-T on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: audio-seconds of speech processed per second of wall-clock per chip
+during training (fwd + RNN-T loss + bwd + SGD update) at the reference parity
+configuration (hparams.py:15-24: 8x LSTM-2048/640 encoder, 2x LSTM-2048 pred
+net, joint 640, vocab 4096, ~120M params).
+
+vs_baseline: ratio against the driver north-star reference point of a V100
+running the TF2 stack with CUDA warp-transducer.  The reference publishes no
+numbers (BASELINE.md), so the denominator is our documented engineering
+estimate for that setup at this config: ~60 audio-s/s (V100 fp16,
+batch 32: LSTM-dominated TF2 graph; see BASELINE.md).
+"""
+
+import json
+import time
+
+V100_BASELINE_AUDIO_S_PER_S = 60.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rnnt_tpu.config import RNNTConfig
+    from rnnt_tpu.train.state import create_train_state
+    from rnnt_tpu.train.steps import make_train_step
+
+    cfg = RNNTConfig(compute_dtype="bfloat16")
+
+    # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64.
+    B, T, U = 8, 256, 64
+    seconds_per_frame = cfg.frame_step * cfg.downsample_factor  # 0.03
+    audio_seconds_per_batch = B * T * seconds_per_frame
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    step_fn = make_train_step(cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel_specs": jnp.asarray(
+            rng.standard_normal((B, T, cfg.input_feat_size)), jnp.bfloat16),
+        "pred_inp": jnp.asarray(
+            np.concatenate([np.zeros((B, 1)), rng.integers(1, cfg.vocab_size,
+                                                           (B, U))], 1), jnp.int32),
+        "labels": jnp.asarray(rng.integers(1, cfg.vocab_size, (B, U)), jnp.int32),
+        "spec_lengths": jnp.full((B,), T, jnp.int32),
+        "label_lengths": jnp.full((B,), U, jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, m = step_fn(state, batch, key)
+    assert np.isfinite(float(m["loss"]))
+
+    # NOTE: materialize the loss on host every step — on this remote-attached
+    # chip, block_until_ready alone does not await remote execution.
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step_fn(state, batch, key)
+        loss = float(m["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+
+    steps_per_s = n_steps / dt
+    value = audio_seconds_per_batch * steps_per_s
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_second_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / V100_BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Main trainer CLI (ref: run_rnnt.py — flags :26-64, main :444-577).
+
+  python -m rnnt_tpu.cli.run_rnnt --mode train \
+      --data_dir data/ls --output_dir runs/ls100 [--checkpoint runs/ls100]
+
+Modes: train | eval | test (run_rnnt.py:26-28,548-576).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="train", choices=["train", "eval", "test"])
+    p.add_argument("--data_dir", required=True,
+                   help="directory of preprocessed .rnr shards + tokenizer")
+    p.add_argument("--output_dir", default="./model",
+                   help="checkpoints + logs (run_rnnt.py:38-40)")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume/eval from this checkpoint dir (run_rnnt.py:41-43)")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--n_epochs", type=int, default=1000)
+    p.add_argument("--steps_per_log", type=int, default=10)
+    p.add_argument("--steps_per_checkpoint", type=int, default=1000)
+    p.add_argument("--eval_size", type=int, default=50,
+                   help="max eval batches per periodic eval (run_rnnt.py:55-57)")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bfloat16 params/activations (the fp16_run equivalent)")
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="model-axis size of the device mesh")
+    p.add_argument("--loss_impl", default="auto",
+                   choices=["auto", "ref", "pallas"])
+    # model/config overrides
+    p.add_argument("--config_override", nargs="*", default=[],
+                   metavar="KEY=VALUE")
+    return p.parse_args(argv)
+
+
+def _load_config(args):
+    from rnnt_tpu.config import RNNTConfig
+
+    # config travels with checkpoint > data_dir > defaults (run_rnnt.py:137-167)
+    for src in [args.checkpoint, args.data_dir]:
+        if src and os.path.exists(os.path.join(src, "config.json")):
+            cfg = RNNTConfig.load(src)
+            break
+    else:
+        cfg = RNNTConfig()
+    overrides = {}
+    for kv in args.config_override:
+        k, _, v = kv.partition("=")
+        field_type = type(getattr(cfg, k))
+        overrides[k] = field_type(v) if field_type is not bool else v == "True"
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_tpu.data import pipeline
+    from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
+    from rnnt_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from rnnt_tpu.train import checkpoint as ckpt_mod
+    from rnnt_tpu.train.loop import run_evaluate, run_training
+    from rnnt_tpu.train.state import create_train_state
+
+    cfg = _load_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # tokenizer travels with checkpoint/data dir (run_rnnt.py:456-467)
+    tok_src = args.checkpoint if (
+        args.checkpoint and os.path.exists(
+            os.path.join(args.checkpoint, SUBWORD_FILENAME))) else args.data_dir
+    tokenizer = get_tokenizer(tok_src, cfg.token_type, cfg.vocab_size)
+    if cfg.token_type == "word-piece":
+        src = os.path.join(tok_src, SUBWORD_FILENAME)
+        dst = os.path.join(args.output_dir, SUBWORD_FILENAME)
+        if os.path.abspath(src) != os.path.abspath(dst):
+            shutil.copy(src, dst)
+    cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
+    cfg.save(args.output_dir)
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    # state: fresh or restored (run_rnnt.py:477-478)
+    if args.checkpoint:
+        state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg)
+    else:
+        state = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
+
+    # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
+    mesh = make_mesh(data=-1, model=args.model_parallel)
+    state = state._replace(params=shard_params(mesh, state.params))
+    bsh = batch_sharding(mesh)
+
+    def shard_batch(batch):
+        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    def batches(split):
+        def gen():
+            yield from pipeline.batches_from_shards(
+                os.path.join(args.data_dir, f"{split}-*.rnr"), args.batch_size,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
+        return gen
+
+    with jax.sharding.set_mesh(mesh):
+        if args.mode == "train":
+            run_training(
+                cfg, state, batches("train"),
+                output_dir=args.output_dir,
+                eval_batches_fn=batches("dev"),
+                tokenizer=tokenizer,
+                n_epochs=args.n_epochs,
+                steps_per_log=args.steps_per_log,
+                steps_per_checkpoint=args.steps_per_checkpoint,
+                eval_max_batches=args.eval_size,
+                shard_batch=shard_batch,
+            )
+        else:
+            if not args.checkpoint:
+                print("eval/test requires --checkpoint (run_rnnt.py:550-551)")
+                sys.exit(1)
+            split = "dev" if args.mode == "eval" else "test"
+            metrics = run_evaluate(
+                cfg, state, batches(split)(), tokenizer=tokenizer)
+            print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Preprocessing + batching pipeline.
+
+Replaces the reference's tf.data graph (preprocessing.py:256-299 offline
+preprocessing; run_rnnt.py:66-90 padded_batch + prefetch) with plain Python
+generators over record shards and **bucketed padding**: examples are grouped
+into (T, U) buckets and padded to bucket boundaries so the jitted train step
+sees a small closed set of shapes (XLA recompiles once per bucket, then
+caches) — where the reference's padded_batch produced a new shape every batch
+and silently relied on TF graph retracing tolerance (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.data import records as records_mod
+from rnnt_tpu.ops import features as F
+
+
+def preprocess_utterance(audio: np.ndarray, sample_rate: int, text: str,
+                         tokenizer, cfg: RNNTConfig) -> Optional[Dict]:
+    """One (audio, transcript) -> training example dict.
+
+    Mirrors preprocess_dataset's per-element map (preprocessing.py:273-295):
+    featurize, tokenize, prepend start/blank 0 to form pred_inp
+    (preprocessing.py:181-182).  Returns None for empty tokenizations.
+    """
+    assert sample_rate == cfg.sample_rate, (
+        f"expected {cfg.sample_rate} Hz, got {sample_rate}")
+    mel = np.asarray(F.preprocess_audio(np.asarray(audio, np.float32), cfg))
+    labels = np.asarray(tokenizer.encode(text), np.int32)
+    if labels.size == 0 or mel.shape[0] == 0:
+        return None
+    pred_inp = np.concatenate([np.zeros(1, np.int32), labels])
+    return {
+        "mel_specs": mel.astype(np.float32),
+        "pred_inp": pred_inp,
+        "labels": labels,
+        "spec_lengths": np.int32(mel.shape[0]),
+        "label_lengths": np.int32(labels.shape[0]),
+    }
+
+
+def preprocess_corpus(utterances: Iterable[Tuple[np.ndarray, int, str]],
+                      tokenizer, cfg: RNNTConfig,
+                      max_length_seconds: float = 0.0) -> Iterator[Dict]:
+    """Featurize a corpus stream; drops over-long audio like the reference's
+    max_length filter (preprocessing.py:264-266)."""
+    for audio, sr, text in utterances:
+        if max_length_seconds > 0 and len(audio) > sr * max_length_seconds:
+            continue
+        ex = preprocess_utterance(audio, sr, text, tokenizer, cfg)
+        if ex is not None:
+            yield ex
+
+
+def _round_up(n: int, sizes: Sequence[int]) -> int:
+    i = bisect.bisect_left(sizes, n)
+    return sizes[i] if i < len(sizes) else sizes[-1]
+
+
+def default_buckets(max_t: int = 2000, max_u: int = 400):
+    """Geometric-ish bucket boundaries for frame/label lengths."""
+    t = [64, 128, 192, 256, 384, 512, 768, 1024, 1536, max_t]
+    u = [16, 32, 48, 64, 96, 128, 192, 256, max_u]
+    return t, u
+
+
+def pad_batch(examples: List[Dict], t_pad: int, u_pad: int) -> Dict[str, np.ndarray]:
+    """Stack examples, padding mel to t_pad frames and labels to u_pad."""
+    B = len(examples)
+    feat = examples[0]["mel_specs"].shape[1]
+    mel = np.zeros((B, t_pad, feat), np.float32)
+    pred_inp = np.zeros((B, u_pad + 1), np.int32)
+    labels = np.zeros((B, u_pad), np.int32)
+    spec_lengths = np.zeros((B,), np.int32)
+    label_lengths = np.zeros((B,), np.int32)
+    for i, ex in enumerate(examples):
+        t, u = ex["mel_specs"].shape[0], ex["labels"].shape[0]
+        mel[i, :t] = ex["mel_specs"]
+        pred_inp[i, :u + 1] = ex["pred_inp"]
+        labels[i, :u] = ex["labels"]
+        spec_lengths[i] = t
+        label_lengths[i] = u
+    return {
+        "mel_specs": mel, "pred_inp": pred_inp, "labels": labels,
+        "spec_lengths": spec_lengths, "label_lengths": label_lengths,
+    }
+
+
+def bucket_batches(
+    examples: Iterable[Dict],
+    batch_size: int,
+    *,
+    t_buckets: Optional[Sequence[int]] = None,
+    u_buckets: Optional[Sequence[int]] = None,
+    drop_oversize: bool = True,
+    flush_partial: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group examples into per-(t,u)-bucket batches with fixed padded shapes."""
+    if t_buckets is None or u_buckets is None:
+        dt, du = default_buckets()
+        t_buckets = t_buckets or dt
+        u_buckets = u_buckets or du
+    t_buckets, u_buckets = sorted(t_buckets), sorted(u_buckets)
+    pending: Dict[Tuple[int, int], List[Dict]] = {}
+    for ex in examples:
+        t, u = int(ex["spec_lengths"]), int(ex["label_lengths"])
+        if t > t_buckets[-1] or u > u_buckets[-1]:
+            if drop_oversize:
+                continue
+            raise ValueError(f"example T={t} U={u} exceeds bucket bounds")
+        key = (_round_up(t, t_buckets), _round_up(u, u_buckets))
+        group = pending.setdefault(key, [])
+        group.append(ex)
+        if len(group) == batch_size:
+            yield pad_batch(group, key[0], key[1])
+            pending[key] = []
+    if flush_partial:
+        for key, group in pending.items():
+            if group:
+                # repeat-pad to full batch size so shapes stay closed-set
+                reps = (batch_size + len(group) - 1) // len(group)
+                full = (group * reps)[:batch_size]
+                batch = pad_batch(full, key[0], key[1])
+                # mark repeated fillers empty so loss/metrics ignore them? No:
+                # keep semantics simple — zero their lengths.
+                n_real = len(group)
+                batch["spec_lengths"][n_real:] = 1
+                batch["label_lengths"][n_real:] = 0
+                batch["num_real"] = np.int32(n_real)
+                yield batch
+
+
+def batches_from_shards(pattern: str, batch_size: int, *,
+                        process_index: int = 0, process_count: int = 1,
+                        **bucket_kw) -> Iterator[Dict[str, np.ndarray]]:
+    """records shards -> bucketed padded batches (the get_dataset equivalent,
+    run_rnnt.py:66-90, with host-disjoint shard reading for multi-host)."""
+    stream = records_mod.read_shards(
+        pattern, process_index=process_index, process_count=process_count)
+    yield from bucket_batches(stream, batch_size, **bucket_kw)

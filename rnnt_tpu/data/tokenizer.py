@@ -1,0 +1,207 @@
+"""Tokenization: character table + trainable subword (BPE) tokenizer.
+
+Replaces the reference's two schemes (utils/encoding.py:51-92):
+- 'character': StaticHashTable over the 31-symbol vocab (encoding.py:63-70).
+  Ours also DECODES (the reference returned decoder_fn=None for characters,
+  breaking WER/transcription on that path — SURVEY.md §2.5 quirk 5).
+- 'word-piece': tfds SubwordTextEncoder built from the corpus and persisted
+  as `encoder.subwords` (encoding.py:72-90).  Re-designed as a from-scratch
+  byte-pair-encoding tokenizer with a sentencepiece-style word-start marker;
+  same contract: id 0 reserved for blank/pad, built from a text generator,
+  saved/loaded next to checkpoints under the same filename.
+
+Text normalization matches preprocessing.py:24-29 (lowercase, strip '"').
+"""
+
+from __future__ import annotations
+
+import collections
+import heapq
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from rnnt_tpu.data import vocabulary
+
+WORD_MARK = "▁"  # sentencepiece-style word-start marker
+SUBWORD_FILENAME = "encoder.subwords"  # parity: run_rnnt.py:461-463
+
+
+def normalize_text(text: str) -> str:
+    return text.lower().replace('"', "")
+
+
+class CharTokenizer:
+    """Character-level tokenizer over the fixed 31-symbol vocabulary."""
+
+    def __init__(self, vocab: Optional[List[str]] = None):
+        self.vocab = vocab or vocabulary.init_vocab()
+        self._to_id = {c: i for i, c in enumerate(self.vocab)}
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, text: str) -> List[int]:
+        text = normalize_text(text)
+        # unknown chars -> 0, the reference's default_value (encoding.py:64-65)
+        return [self._to_id.get(c, 0) for c in text]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return "".join(self.vocab[i] for i in ids if 0 < i < len(self.vocab))
+
+    def save(self, directory: str) -> str:
+        path = os.path.join(directory, "vocab.txt")
+        vocabulary.save_vocab(self.vocab, path)
+        return path
+
+    @classmethod
+    def load(cls, directory: str) -> "CharTokenizer":
+        return cls(vocabulary.load_vocab(os.path.join(directory, "vocab.txt")))
+
+
+class SubwordTokenizer:
+    """Byte-pair-encoding subword tokenizer.
+
+    Vocabulary layout: id 0 = blank/pad (reserved, like tfds SubwordTextEncoder
+    and the transducer blank), then learned subwords, then single-character
+    fallback tokens so any input is encodable.
+    """
+
+    def __init__(self, pieces: List[str]):
+        assert pieces and pieces[0] == "", "id 0 must be the reserved blank"
+        self.pieces = pieces
+        self._to_id: Dict[str, int] = {p: i for i, p in enumerate(pieces) if p}
+        self._max_len = max((len(p) for p in pieces if p), default=1)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.pieces)
+
+    # --- encoding: greedy longest-match over the piece vocabulary ---
+
+    def _encode_word(self, word: str, out: List[int]) -> None:
+        s = WORD_MARK + word
+        i = 0
+        while i < len(s):
+            for j in range(min(len(s), i + self._max_len), i, -1):
+                tok = self._to_id.get(s[i:j])
+                if tok is not None:
+                    out.append(tok)
+                    i = j
+                    break
+            else:
+                i += 1  # unencodable char: skip (blank-0 padding would corrupt)
+
+    def encode(self, text: str) -> List[int]:
+        out: List[int] = []
+        for word in normalize_text(text).split():
+            self._encode_word(word, out)
+        return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        s = "".join(self.pieces[i] for i in ids if 0 < i < len(self.pieces))
+        return s.replace(WORD_MARK, " ").strip()
+
+    # --- persistence (same sidecar contract as encoder.subwords) ---
+
+    def save(self, directory: str, filename: str = SUBWORD_FILENAME) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, filename)
+        with open(path, "w") as f:
+            for p in self.pieces:
+                f.write(p.replace("\\", "\\\\").replace("\n", "\\n") + "\n")
+        return path
+
+    @classmethod
+    def load(cls, directory: str, filename: str = SUBWORD_FILENAME) -> "SubwordTokenizer":
+        path = os.path.join(directory, filename)
+        pieces = []
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                pieces.append(line.replace("\\n", "\n").replace("\\\\", "\\"))
+        return cls(pieces)
+
+    @classmethod
+    def exists(cls, directory: str, filename: str = SUBWORD_FILENAME) -> bool:
+        return os.path.exists(os.path.join(directory, filename))
+
+    # --- training (the build_from_corpus equivalent, encoding.py:81-83) ---
+
+    @classmethod
+    def build_from_corpus(
+        cls,
+        corpus: Iterable[str],
+        target_vocab_size: int,
+        max_subword_length: int = 20,
+    ) -> "SubwordTokenizer":
+        """Learn BPE merges from a text generator until the vocab is full."""
+        word_counts: collections.Counter = collections.Counter()
+        for line in corpus:
+            for w in normalize_text(line).split():
+                word_counts[WORD_MARK + w] += 1
+
+        # Base alphabet: every character observed (guarantees encodability).
+        alphabet = sorted({c for w in word_counts for c in w})
+        # words as tuples of symbols
+        words: Dict[Tuple[str, ...], int] = {
+            tuple(w): c for w, c in word_counts.items()
+        }
+
+        merges: List[str] = []
+        budget = target_vocab_size - 1 - len(alphabet)  # -1 for blank
+        while budget > len(merges):
+            pair_counts: collections.Counter = collections.Counter()
+            for sym, cnt in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    if len(a) + len(b) <= max_subword_length:
+                        pair_counts[(a, b)] += cnt
+            if not pair_counts:
+                break
+            (a, b), cnt = pair_counts.most_common(1)[0]
+            if cnt < 2:
+                break
+            new_sym = a + b
+            merges.append(new_sym)
+            merged: Dict[Tuple[str, ...], int] = {}
+            for sym, c in words.items():
+                out = []
+                i = 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(new_sym)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                merged[tuple(out)] = merged.get(tuple(out), 0) + c
+            words = merged
+
+        # Longer/more frequent merges first helps greedy longest-match; order:
+        # blank, merges (by creation = frequency order), then alphabet.
+        pieces = [""] + merges + alphabet
+        return cls(pieces[:target_vocab_size] if len(pieces) > target_vocab_size
+                   else pieces)
+
+
+def get_tokenizer(
+    directory: str,
+    token_type: str,
+    vocab_size: int,
+    corpus: Optional[Iterable[str]] = None,
+):
+    """Build-or-load, mirroring get_encoder (encoding.py:51-92): load the
+    persisted tokenizer from `directory` if present, else train from `corpus`
+    and persist it there."""
+    if token_type == "character":
+        return CharTokenizer()
+    if token_type == "word-piece":
+        if SubwordTokenizer.exists(directory):
+            return SubwordTokenizer.load(directory)
+        if corpus is None:
+            raise FileNotFoundError(
+                f"no {SUBWORD_FILENAME} in {directory} and no corpus given")
+        tok = SubwordTokenizer.build_from_corpus(corpus, vocab_size)
+        tok.save(directory)
+        return tok
+    raise ValueError(f"unknown token_type {token_type!r}")

@@ -1,0 +1,135 @@
+"""Batched greedy transducer decoding.
+
+Re-design of utils/decoding.py:21-108.  The reference decoded only batch
+element 0 (:23,37) with nested dynamic-shape tf.while_loops, re-running the
+ENTIRE prediction network over the emitted prefix at every step (:63 —
+O(U^2) work).  Here:
+
+- the whole batch decodes at once (per-element done masks);
+- the prediction-net LSTM state is carried, so each emission costs one
+  single-step pred-net evaluation (O(U));
+- everything is a bounded `lax.while_loop`/`fori_loop` over static shapes —
+  jit-able, TPU-resident, no host round trips;
+- blank (id 0) ends a frame's emissions (decoding.py:71-72), with a
+  `max_symbols_per_frame` bound making the loop finite under jit.
+
+Invariant carried across frames: (pred_out, pred_state) is the prediction
+network's output/state after consuming the start token plus every emitted
+token so far.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rnnt_tpu.models.transducer import Transducer
+
+
+def _where_tree(mask, new, old):
+    """Per-batch-element select over a state pytree (mask: [B])."""
+    def sel(n, o):
+        m = mask.reshape((-1,) + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+def greedy_decode_encoded(
+    model: Transducer,
+    params,
+    encoded: jnp.ndarray,          # [B, T', P]
+    enc_lengths: jnp.ndarray,      # [B]
+    *,
+    max_output_length: int = 200,
+    carry=None,
+):
+    """Greedy decode from encoder activations.
+
+    Returns (tokens [B, max_output_length], lengths [B], carry); pass the
+    carry (pred_out, pred_state) back in to continue across streaming chunks
+    (the stateful-decode behaviour of streaming_transcribe.py:34-61).
+    """
+    cfg = model.cfg
+    B, T, _ = encoded.shape
+    max_sym = cfg.max_symbols_per_frame
+
+    if carry is None:
+        pred_state0 = model.prediction_zero_state(B, encoded.dtype)
+        # consume the start token 0 (decoding.py:28, preprocessing.py:181)
+        pred_out, pred_state = model.predict_step(
+            params, jnp.zeros((B,), jnp.int32), pred_state0)
+    else:
+        pred_out, pred_state = carry
+
+    out_tokens = jnp.zeros((B, max_output_length), jnp.int32)
+    out_lengths = jnp.zeros((B,), jnp.int32)
+    batch_idx = jnp.arange(B)
+
+    def frame_body(t, fc):
+        pred_out, pred_state, out_tokens, out_lengths = fc
+        frame_valid = t < enc_lengths  # [B]
+        enc_t = encoded[:, t, :]
+
+        def sym_cond(c):
+            _, _, _, _, active, n = c
+            return jnp.logical_and(jnp.any(active), n < max_sym)
+
+        def sym_body(c):
+            pred_out, pred_state, out_tokens, out_lengths, active, n = c
+            logits = model.joint_step(params, enc_t, pred_out)  # [B, V]
+            pred_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = active & (pred_id != 0) & (out_lengths < max_output_length)
+            # append emitted tokens (masked scatter)
+            slot = jnp.minimum(out_lengths, max_output_length - 1)
+            cur = out_tokens[batch_idx, slot]
+            out_tokens = out_tokens.at[batch_idx, slot].set(
+                jnp.where(emit, pred_id, cur))
+            out_lengths = out_lengths + emit.astype(jnp.int32)
+            # advance the pred net for emitting elements only
+            new_out, new_state = model.predict_step(params, pred_id, pred_state)
+            pred_out = jnp.where(emit[:, None], new_out, pred_out)
+            pred_state = _where_tree(emit, new_state, pred_state)
+            return pred_out, pred_state, out_tokens, out_lengths, emit, n + 1
+
+        init = (pred_out, pred_state, out_tokens, out_lengths, frame_valid,
+                jnp.zeros((), jnp.int32))
+        pred_out, pred_state, out_tokens, out_lengths, _, _ = jax.lax.while_loop(
+            sym_cond, sym_body, init)
+        return pred_out, pred_state, out_tokens, out_lengths
+
+    pred_out, pred_state, out_tokens, out_lengths = jax.lax.fori_loop(
+        0, T, frame_body, (pred_out, pred_state, out_tokens, out_lengths))
+    return out_tokens, out_lengths, (pred_out, pred_state)
+
+
+def greedy_decode(
+    model: Transducer,
+    params,
+    mel_specs: jnp.ndarray,        # [B, T, feat]
+    spec_lengths: Optional[jnp.ndarray] = None,
+    *,
+    max_output_length: int = 200,
+):
+    """Featurized audio -> token ids. The `greedy_decode_fn` equivalent
+    (decoding.py:21), but batched."""
+    B, T, _ = mel_specs.shape
+    if spec_lengths is None:
+        spec_lengths = jnp.full((B,), T, jnp.int32)
+    encoded, _ = model.encode(params, mel_specs)
+    enc_lengths = model.encoded_length(spec_lengths)
+    tokens, lengths, _ = greedy_decode_encoded(
+        model, params, encoded, enc_lengths, max_output_length=max_output_length)
+    return tokens, lengths
+
+
+def make_greedy_decoder(model: Transducer, params, *, max_output_length: int = 200):
+    """Jitted closure mirroring greedy_decode_fn(model, hparams) (decoding.py:21)."""
+
+    @jax.jit
+    def fn(mel_specs, spec_lengths):
+        return greedy_decode(model, params, mel_specs, spec_lengths,
+                             max_output_length=max_output_length)
+
+    return fn

@@ -1,0 +1,109 @@
+"""Streaming (chunked) transcription with carried state.
+
+Re-design of streaming_transcribe.py: the reference relied on Keras
+`stateful=True` LSTMs (batch 1) so each audio-callback chunk continued the
+previous state (:34,41-61).  Here the state is an explicit pytree —
+(encoder LSTM states, decode carry, feature remainder) — threaded through
+`StreamingTranscriber.process_chunk`, so the same code serves a microphone
+callback, a websocket server loop, or batch simulation in tests.
+
+Chunk handling details the Keras version got subtly wrong:
+- STFT frames straddling chunk boundaries: we keep a sample remainder of
+  (frame_length - frame_step) so no frames are dropped between chunks
+  (the reference featurized each chunk independently, losing boundary
+  context, streaming_transcribe.py:44-50).
+- frame stacking (x3) and TimeReduction (x2) alignment: leftover frames that
+  don't fill a stack ride in the remainder as samples.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.decode.greedy import greedy_decode_encoded
+from rnnt_tpu.models.transducer import Transducer
+from rnnt_tpu.ops import features as F
+
+
+class StreamingTranscriber:
+    """Stateful chunk-by-chunk transcription (batch 1)."""
+
+    def __init__(self, cfg: RNNTConfig, params, tokenizer,
+                 *, max_tokens_per_chunk: int = 64):
+        self.cfg = cfg
+        self.model = Transducer(cfg)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_tokens_per_chunk = max_tokens_per_chunk
+        self.reset()
+
+        # The per-chunk compute is jitted once per chunk length; feeding
+        # fixed-size chunks (e.g. 1024 samples like streaming_transcribe.py:17)
+        # hits the cache every time.
+        def _run(params, mel, enc_state, carry):
+            encoded, new_enc_state = self.model.encode(
+                params, mel[None], state=enc_state)
+            enc_len = jnp.full((1,), encoded.shape[1], jnp.int32)
+            tokens, lengths, new_carry = greedy_decode_encoded(
+                self.model, params, encoded, enc_len,
+                max_output_length=max_tokens_per_chunk, carry=carry)
+            return tokens[0], lengths[0], new_enc_state, new_carry
+
+        self._run = jax.jit(_run)
+
+    def reset(self) -> None:
+        self._sample_rem = np.zeros((0,), np.float32)  # boundary samples
+        self._frame_rem = np.zeros((0, self.cfg.mel_bins), np.float32)
+        # stacked frames held back so each encode() sees a multiple of the
+        # time-reduction factor (keeps chunked == full-utterance exact)
+        self._stacked_rem = np.zeros((0, self.cfg.input_feat_size), np.float32)
+        self._enc_state = None
+        self._carry = None
+        self._text_ids: List[int] = []
+
+    @property
+    def text(self) -> str:
+        return self.tokenizer.decode(self._text_ids)
+
+    def process_chunk(self, samples: np.ndarray) -> str:
+        """Feed raw audio samples; returns the transcript so far."""
+        cfg = self.cfg
+        buf = np.concatenate([self._sample_rem, np.asarray(samples, np.float32)])
+
+        frame_len, step = cfg.frame_length_samples, cfg.frame_step_samples
+        n_frames = max(0, 1 + (len(buf) - frame_len) // step)
+        # frames whose windows are complete in this buffer
+        if n_frames == 0:
+            self._sample_rem = buf
+            return self.text
+        consumed = n_frames * step
+        self._sample_rem = buf[consumed:]
+
+        # NOTE: streaming mean-subtraction uses the chunk mean (the reference
+        # did the same per-chunk normalization, preprocessing.py:79).
+        log_mel = np.asarray(F.log_mel_spectrogram(
+            jnp.asarray(buf[: consumed + (frame_len - step)]), cfg))
+
+        frames = np.concatenate([self._frame_rem, log_mel], 0)
+        n_stack = (len(frames) // cfg.downsample_factor) * cfg.downsample_factor
+        self._frame_rem = frames[n_stack:]
+        mel = np.concatenate([
+            self._stacked_rem,
+            frames[:n_stack].reshape(-1, cfg.input_feat_size)], 0)
+        # feed a multiple of the reduction factor (exact state continuation)
+        r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
+        n_feed = (len(mel) // r) * r
+        self._stacked_rem = mel[n_feed:]
+        if n_feed == 0:
+            return self.text
+        mel = mel[:n_feed]
+
+        tokens, length, self._enc_state, self._carry = self._run(
+            self.params, jnp.asarray(mel), self._enc_state, self._carry)
+        self._text_ids.extend(np.asarray(tokens)[: int(length)].tolist())
+        return self.text

@@ -1,0 +1,105 @@
+"""Post-training int8 weight quantization.
+
+The working replacement for the reference's broken TFLite export
+(quantize_model.py — calls a nonexistent model_utils.load_model, SURVEY.md
+§2.5 quirk 1).  Matches the paper-provenance goal (README.md:7 → ~4x smaller
+on-device model): symmetric per-output-channel int8 for every matmul weight,
+fp32 scales, biases/norms kept fp32.
+
+The quantized artifact is a pytree of {"q": int8 W, "s": fp32 scale} leaves;
+`dequantize_params` reconstitutes a normal param tree (XLA fuses the
+dequant multiply into the consuming matmul), so every decode path (greedy/
+beam/streaming) runs unchanged.  WER delta vs fp32 is measured by
+cli.run_rnnt --mode eval on the dequantized tree (BASELINE.md metric).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# weight leaves quantized per-output-channel (last dim = output)
+_QUANT_KEYS = {"wx", "wh", "wp", "embed", "w1", "w2"}
+
+
+def _is_quant_path(path) -> bool:
+    last = path[-1]
+    key = getattr(last, "key", None)
+    return key in _QUANT_KEYS
+
+
+def quantize_params(params) -> Any:
+    """fp params -> pytree with int8 {"q","s"} leaves for matmul weights."""
+
+    def q(path, leaf):
+        if not _is_quant_path(path) or leaf.ndim < 2:
+            return np.asarray(leaf)
+        w = np.asarray(leaf, np.float32)
+        scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        qw = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return {"q": qw, "s": scale.astype(np.float32)}
+
+    return jax.tree_util.tree_map_with_path(
+        q, params, is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray)))
+
+
+def dequantize_params(qparams, dtype=jnp.bfloat16) -> Any:
+    """Quantized pytree -> normal param tree (int8 * scale -> dtype)."""
+
+    def dq(leaf):
+        if isinstance(leaf, dict) and set(leaf) == {"q", "s"}:
+            return (jnp.asarray(leaf["q"], jnp.float32)
+                    * jnp.asarray(leaf["s"])).astype(dtype)
+        return jnp.asarray(leaf)
+
+    return jax.tree_util.tree_map(
+        dq, qparams,
+        is_leaf=lambda x: isinstance(x, dict) and set(x) == {"q", "s"})
+
+
+def quantized_size_bytes(qparams) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+            qparams, is_leaf=lambda x: isinstance(x, dict) and set(x) == {"q", "s"}):
+        if isinstance(leaf, dict):
+            total += leaf["q"].nbytes + leaf["s"].nbytes
+        else:
+            total += np.asarray(leaf).nbytes
+    return total
+
+
+def save_quantized(path: str, qparams) -> None:
+    flat, treedef = jax.tree_util.tree_flatten(
+        qparams, is_leaf=lambda x: isinstance(x, dict) and set(x) == {"q", "s"})
+    arrs: Dict[str, np.ndarray] = {}
+    kinds = []
+    for i, leaf in enumerate(flat):
+        if isinstance(leaf, dict):
+            arrs[f"q_{i}"] = leaf["q"]
+            arrs[f"s_{i}"] = leaf["s"]
+            kinds.append("quant")
+        else:
+            arrs[f"w_{i}"] = np.asarray(leaf)
+            kinds.append("raw")
+    arrs["__kinds__"] = np.array(kinds)
+    np.savez_compressed(path, **arrs)
+
+
+def load_quantized(path: str, template_params) -> Any:
+    """Load a quantized artifact back into the template's tree structure."""
+    data = np.load(path, allow_pickle=False)
+    kinds = data["__kinds__"]
+    _, treedef = jax.tree_util.tree_flatten(quantize_params(template_params),
+                                            is_leaf=lambda x: isinstance(x, dict)
+                                            and set(x) == {"q", "s"})
+    flat = []
+    for i, kind in enumerate(kinds):
+        if kind == "quant":
+            flat.append({"q": data[f"q_{i}"], "s": data[f"s_{i}"]})
+        else:
+            flat.append(data[f"w_{i}"])
+    return jax.tree_util.tree_unflatten(treedef, flat)

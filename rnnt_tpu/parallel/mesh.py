@@ -1,0 +1,115 @@
+"""Device mesh and sharding rules.
+
+TPU-native replacement for the reference's distribution layer
+(run_rnnt.py:93-131): where TF picked MirroredStrategy vs OneDeviceStrategy,
+we build a `jax.sharding.Mesh` with ('data', 'model') axes and annotate
+arrays with `NamedSharding`s — GSPMD then emits the XLA collectives (the
+gradient all-reduce MirroredStrategy did implicitly via NCCL rides ICI here).
+
+- data axis: batch sharding (pure DP — the reference's only strategy,
+  run_rnnt.py:119-122).
+- model axis: tensor parallelism for the wide LSTM/joint layers (absent in
+  the reference, SURVEY.md §2.3; the gate matrices are column-sharded over
+  their 4H output dim, projections row-sharded with an implicit psum, and the
+  joint vocab projection column-sharded over V so the [B,T,U,V] lattice and
+  the loss are V- and batch-sharded).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh`
+(SURVEY.md §2.3 "multi-host"); each process feeds its local batch shard via
+`jax.make_array_from_process_local_data`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names=("data", "model"),
+) -> Mesh:
+    """Build a ('data', 'model') mesh. data=-1 means "all remaining devices"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding for input arrays (ref: run_rnnt.py:87-88)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Param-tree path -> PartitionSpec rules for tensor parallelism.
+# Keys are regexes over '/'-joined tree paths.
+_PARAM_RULES = [
+    # LSTM gates: column-parallel over the 4H output dim.
+    (r".*lstm/wx$", P(None, "model")),
+    (r".*lstm/wh$", P(None, "model")),
+    (r".*lstm/bias$", P("model")),
+    # Output projection: row-parallel (psum inserted by GSPMD).
+    (r".*lstm/wp$", P("model", None)),
+    # Embedding: shard over embedding dim.
+    (r".*embed$", P(None, "model")),
+    # Joint: first dense column-parallel, vocab dense column-parallel over V.
+    (r".*joint/w1$", P(None, "model")),
+    (r".*joint/b1$", P("model")),
+    (r".*joint/w2$", P(None, "model")),
+    (r".*joint/b2$", P("model")),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding_rules(mesh: Mesh, params):
+    """NamedSharding pytree for a transducer param tree."""
+
+    def rule(path, leaf):
+        s = _path_str(path)
+        for pat, spec in _PARAM_RULES:
+            if re.match(pat, s):
+                # Don't shard dims that aren't divisible by the axis size.
+                sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    if dim >= leaf.ndim or leaf.shape[dim] % sizes[axis] != 0:
+                        ok = False
+                if ok:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a param tree onto the mesh according to the rules."""
+    shardings = param_sharding_rules(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

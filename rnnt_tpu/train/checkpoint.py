@@ -1,0 +1,102 @@
+"""Checkpointing: params + optimizer state + step, with config/tokenizer
+sidecars.
+
+Replaces the reference's weights-only HDF5 checkpoints
+(`checkpoint_{step}_{val_loss}.hdf5`, run_rnnt.py:326-329) which lost the
+optimizer momentum and global step on resume (run_rnnt.py:336 — SURVEY.md §5).
+Here a checkpoint directory holds:
+
+  ckpt_dir/
+    checkpoint_{step:08d}/     orbax PyTree checkpoint of the TrainState
+    config.json                RNNTConfig sidecar (utils/model.py:15-18 role)
+    encoder.subwords|vocab.txt tokenizer sidecar (run_rnnt.py:461-463 role)
+
+so inference CLIs can reconstruct everything from one directory, same as the
+reference contract (transcribe_file.py:16-26).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.train.state import TrainState, create_train_state
+
+_CKPT_RE = re.compile(r"^checkpoint_(\d+)$")
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
+                    *, keep: int = 5) -> str:
+    """Write checkpoint_{step}; prunes old ones beyond `keep`."""
+    step = int(np.asarray(state.step))
+    path = os.path.join(ckpt_dir, f"checkpoint_{step:08d}")
+    os.makedirs(path, exist_ok=True)
+    cfg.save(ckpt_dir)
+
+    leaves, _ = _flatten(state)
+    arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    np.savez(os.path.join(path, "state.npz"), **arrs)
+
+    # prune
+    steps = sorted(list_checkpoint_steps(ckpt_dir))
+    for s in steps[:-keep]:
+        old = os.path.join(ckpt_dir, f"checkpoint_{s:08d}")
+        for root, dirs, files in os.walk(old, topdown=False):
+            for fn in files:
+                os.unlink(os.path.join(root, fn))
+            os.rmdir(root)
+    return path
+
+
+def list_checkpoint_steps(ckpt_dir: str) -> List[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.exists(os.path.join(ckpt_dir, name, "state.npz")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    steps = list_checkpoint_steps(ckpt_dir)
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"checkpoint_{steps[-1]:08d}")
+
+
+def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig) -> TrainState:
+    """Restore a TrainState (full resume: params + momentum + step)."""
+    path = path_or_dir
+    if not os.path.exists(os.path.join(path, "state.npz")):
+        latest = latest_checkpoint(path_or_dir)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoint under {path_or_dir}")
+        path = latest
+    data = np.load(os.path.join(path, "state.npz"))
+    template = create_train_state(jax.random.PRNGKey(0), cfg)
+    leaves, treedef = _flatten(template)
+    new_leaves = []
+    for i, tmpl in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        assert arr.shape == tmpl.shape, (
+            f"leaf {i}: checkpoint shape {arr.shape} != model {tmpl.shape} "
+            "(config mismatch?)")
+        new_leaves.append(jax.numpy.asarray(arr, tmpl.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_config(ckpt_dir: str) -> RNNTConfig:
+    """Config travels with the checkpoint (run_rnnt.py:137-140)."""
+    return RNNTConfig.load(ckpt_dir)

@@ -1,0 +1,148 @@
+"""Training / evaluation loops.
+
+Re-design of run_training / run_evaluate / checkpoint_model
+(run_rnnt.py:233-441): epoch loop over bucketed batches, periodic eval +
+checkpoint every `steps_per_checkpoint`, scalar logging every `steps_per_log`,
+decode-based accuracy/WER computed over the WHOLE eval batch (fixing ref
+quirk 3) and never loss-scaled (fixing quirk 4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.decode.greedy import make_greedy_decoder
+from rnnt_tpu.metrics import accuracy as accuracy_fn
+from rnnt_tpu.metrics import cer as cer_fn
+from rnnt_tpu.metrics import wer as wer_fn
+from rnnt_tpu.models.transducer import Transducer
+from rnnt_tpu.train import checkpoint as ckpt_mod
+from rnnt_tpu.train import observe
+from rnnt_tpu.train.state import TrainState
+from rnnt_tpu.train.steps import make_eval_step, make_train_step
+
+
+def run_evaluate(
+    cfg: RNNTConfig,
+    state: TrainState,
+    eval_batches: Iterable[Dict],
+    *,
+    tokenizer=None,
+    eval_step=None,
+    decode_metrics: bool = True,
+    max_batches: int = 0,
+) -> Dict[str, float]:
+    """Evaluate loss (+ greedy-decode accuracy/CER/WER) over a dataset."""
+    eval_step = eval_step or make_eval_step(cfg)
+    model = Transducer(cfg)
+    decoder = None
+
+    losses, n = [], 0
+    refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
+    for batch in eval_batches:
+        n += 1
+        num_real = int(batch.get("num_real", batch["labels"].shape[0]))
+        m = eval_step(state.params, {k: v for k, v in batch.items()
+                                     if k != "num_real"})
+        losses.extend(np.asarray(m["nll"])[:num_real].tolist())
+        if decode_metrics:
+            if decoder is None:
+                decoder = make_greedy_decoder(
+                    model, state.params,
+                    max_output_length=int(batch["labels"].shape[1] * 2 + 8))
+            tokens, lengths = decoder(batch["mel_specs"], batch["spec_lengths"])
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            labels = np.asarray(batch["labels"])
+            lab_lens = np.asarray(batch["label_lengths"])
+            for i in range(num_real):
+                ref_ids = labels[i, : lab_lens[i]].tolist()
+                hyp_ids = tokens[i, : lengths[i]].tolist()
+                refs_tok.append(ref_ids)
+                hyps_tok.append(hyp_ids)
+                if tokenizer is not None:
+                    refs_txt.append(tokenizer.decode(ref_ids))
+                    hyps_txt.append(tokenizer.decode(hyp_ids))
+        if max_batches and n >= max_batches:
+            break
+
+    out = {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
+    if decode_metrics and refs_tok:
+        out["eval_accuracy"] = accuracy_fn(refs_tok, hyps_tok)
+        if refs_txt:
+            out["eval_wer"] = wer_fn(refs_txt, hyps_txt)
+            out["eval_cer"] = cer_fn(refs_txt, hyps_txt)
+    return out
+
+
+def run_training(
+    cfg: RNNTConfig,
+    state: TrainState,
+    train_batches_fn: Callable[[], Iterable[Dict]],
+    *,
+    output_dir: str,
+    eval_batches_fn: Optional[Callable[[], Iterable[Dict]]] = None,
+    tokenizer=None,
+    n_epochs: int = 1,
+    steps_per_log: int = 10,
+    steps_per_checkpoint: int = 1000,
+    eval_max_batches: int = 50,
+    writer: Optional[observe.MetricsWriter] = None,
+    shard_batch: Optional[Callable[[Dict], Dict]] = None,
+) -> TrainState:
+    """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
+    (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
+    train_step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg) if eval_batches_fn else None
+    rng = jax.random.PRNGKey(int(np.asarray(state.step)) + 17)
+
+    own_writer = writer is None
+    if own_writer:
+        writer = observe.MetricsWriter(output_dir, "tb")
+        writer.hparams(cfg)
+
+    def maybe_checkpoint(state):
+        if eval_batches_fn is not None:
+            t0 = time.time()
+            metrics = run_evaluate(
+                cfg, state, eval_batches_fn(), tokenizer=tokenizer,
+                eval_step=eval_step, max_batches=eval_max_batches)
+            metrics["eval_seconds"] = time.time() - t0
+            writer.scalars(int(np.asarray(state.step)), metrics)
+            print(f"step {int(np.asarray(state.step))}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        ckpt_mod.save_checkpoint(output_dir, state, cfg)
+
+    step_times = []
+    try:
+        for epoch in range(n_epochs):
+            for batch in train_batches_fn():
+                batch = {k: v for k, v in batch.items() if k != "num_real"}
+                if shard_batch is not None:
+                    batch = shard_batch(batch)
+                rng, sub = jax.random.split(rng)
+                t0 = time.time()
+                state, m = train_step(state, batch, sub)
+                step = int(np.asarray(state.step))
+                step_times.append(time.time() - t0)
+                if step % steps_per_log == 0:
+                    writer.scalars(step, {
+                        "train_loss": float(m["loss"]),
+                        "grad_norm": float(m["grad_norm"]),
+                        "step_seconds": float(np.mean(step_times[-steps_per_log:])),
+                    })
+                    print(f"epoch {epoch} step {step}: "
+                          f"loss={float(m['loss']):.4f} "
+                          f"({np.mean(step_times[-steps_per_log:]):.3f}s/step)")
+                if step % steps_per_checkpoint == 0:
+                    maybe_checkpoint(state)
+        maybe_checkpoint(state)  # final (run_rnnt.py:377)
+    finally:
+        if own_writer:
+            writer.close()
+    return state

@@ -1,0 +1,62 @@
+"""Observability: scalar metrics to JSONL (always) and TensorBoard (optional).
+
+Replaces the reference's tf.summary scalars + HParams plugin registration
+(run_rnnt.py:320-324,366-368,199-218; hparams.py:39-47).  JSONL is the source
+of truth (grep-able, dependency-free); TensorBoard event files are written too
+when `tensorboard` is importable so the reference's workflow keeps working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+# metric name constants (parity with hparams.py:39-47)
+METRIC_TRAIN_LOSS = "train_loss"
+METRIC_EVAL_LOSS = "eval_loss"
+METRIC_EVAL_ACCURACY = "eval_accuracy"
+METRIC_EVAL_CER = "eval_cer"
+METRIC_EVAL_WER = "eval_wer"
+
+
+class MetricsWriter:
+    def __init__(self, log_dir: str, run_name: Optional[str] = None):
+        run_name = run_name or time.strftime("%Y%m%d-%H%M%S")
+        self.dir = os.path.join(log_dir, run_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:  # optional TensorBoard writer
+            from tensorboard.summary import Writer  # type: ignore
+
+            self._tb = Writer(self.dir)
+        except Exception:
+            self._tb = None
+
+    def scalars(self, step: int, values: Dict[str, float]) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in values.items():
+                try:
+                    self._tb.add_scalar(k, float(v), int(step))
+                except Exception:
+                    pass
+
+    def hparams(self, cfg) -> None:
+        """Record the run's hyperparameters (run_rnnt.py:520 hp.hparams)."""
+        with open(os.path.join(self.dir, "hparams.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            try:
+                self._tb.close()
+            except Exception:
+                pass

@@ -1,0 +1,67 @@
+"""Train state: params + optimizer state + step, as one pytree.
+
+Improves on the reference checkpoints which stored weights only (HDF5,
+run_rnnt.py:326-329) and silently reset optimizer momentum and global_step on
+resume (run_rnnt.py:336 — SURVEY.md §5 checkpoint quirk).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.models.transducer import init_transducer_params
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray          # scalar int32
+    params: Any                # transducer param pytree (incl. batchnorm stats)
+    opt_state: Any             # optax state (SGD momentum buffers)
+
+
+def make_optimizer(cfg: RNNTConfig) -> optax.GradientTransformation:
+    """SGD + momentum at the reference's settings (run_rnnt.py:483-484)."""
+    tx = [optax.trace(decay=cfg.momentum, nesterov=False)]
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        tx.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
+    tx.append(optax.scale(-cfg.learning_rate))
+    return optax.chain(*tx)
+
+
+def create_train_state(key, cfg: RNNTConfig, dtype=jnp.float32) -> TrainState:
+    params = init_transducer_params(key, cfg, dtype)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(_trainable(params))
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state)
+
+
+def _trainable(params):
+    """Mask out batchnorm running stats (non-trainable leaves)."""
+    bn = dict(params["encoder"]["bn"])
+    bn.pop("mean"), bn.pop("var")
+    out = {
+        "encoder": {**params["encoder"], "bn": bn},
+        "prediction": params["prediction"],
+        "joint": params["joint"],
+    }
+    return out
+
+
+def merge_trainable(params, trainable):
+    """Inverse of `_trainable`: put updated trainables back with the stats."""
+    bn = dict(trainable["encoder"]["bn"])
+    bn["mean"] = params["encoder"]["bn"]["mean"]
+    bn["var"] = params["encoder"]["bn"]["var"]
+    return {
+        "encoder": {**trainable["encoder"], "bn": bn},
+        "prediction": trainable["prediction"],
+        "joint": trainable["joint"],
+    }
+
+
+trainable = _trainable

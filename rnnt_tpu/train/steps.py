@@ -1,0 +1,90 @@
+"""Jitted train / eval steps.
+
+Re-design of the reference's `train_step`/`eval_step` (run_rnnt.py:253-298,
+392-424).  Differences, deliberate:
+- One SPMD step function over a mesh replaces strategy.run + strategy.reduce:
+  batch arrays arrive sharded on the 'data' axis, GSPMD inserts the gradient
+  all-reduce (the NCCL all-reduce implicit in run_rnnt.py:288).
+- bf16 needs no loss scaling, so no LossScaleOptimizer plumbing
+  (run_rnnt.py:275-276,285-286) and eval loss is not accidentally scaled
+  (ref quirk, run_rnnt.py:409-410).
+- Loss normalization matches: sum(per-example nll) / global batch
+  (run_rnnt.py:278).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.models.transducer import Transducer
+from rnnt_tpu.models import encoder as enc_mod
+from rnnt_tpu.ops.rnnt_loss import rnnt_loss
+from rnnt_tpu.train import state as state_mod
+
+
+def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
+               rng: Optional[jax.Array] = None, loss_impl: str = "auto"):
+    """Forward + RNN-T loss for one (possibly sharded) batch.
+
+    batch: dict with mel_specs [B,T,F], pred_inp [B,U+1], labels [B,U],
+    spec_lengths [B] (pre-reduction frames), label_lengths [B].
+    Returns (mean_loss, (per_example_loss, new_bn_stats)).
+    """
+    model = Transducer(cfg)
+    logits, bn_stats = model.apply(
+        params, batch["mel_specs"], batch["pred_inp"], training=training, rng=rng)
+    enc_lengths = enc_mod.encoded_length(cfg, batch["spec_lengths"])
+    nll = rnnt_loss(logits, batch["labels"], enc_lengths,
+                    batch["label_lengths"], impl=loss_impl)
+    # sum/batch_size normalization (run_rnnt.py:278)
+    return jnp.mean(nll), (nll, bn_stats)
+
+
+def make_train_step(cfg: RNNTConfig, *, loss_impl: str = "auto", donate: bool = True):
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    tx = state_mod.make_optimizer(cfg)
+
+    def train_step(state: state_mod.TrainState, batch, rng):
+        trainable = state_mod.trainable(state.params)
+
+        def loss_fn(tr):
+            params = state_mod.merge_trainable(state.params, tr)
+            loss, (nll, bn_stats) = batch_loss(
+                params, cfg, batch, training=True, rng=rng, loss_impl=loss_impl)
+            return loss, bn_stats
+
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, new_opt = tx.update(grads, state.opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = state_mod.merge_trainable(state.params, new_trainable)
+        # thread the batchnorm running stats (Keras hid these; run_rnnt.py:269)
+        new_params["encoder"]["bn"]["mean"] = bn_stats["mean"]
+        new_params["encoder"]["bn"]["var"] = bn_stats["var"]
+        new_state = state_mod.TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: RNNTConfig, *, loss_impl: str = "auto"):
+    """Returns jitted (params, batch) -> eval metrics (loss only; decode-based
+    accuracy/WER run outside the step, rnnt_tpu.metrics)."""
+
+    def eval_step(params, batch):
+        loss, (nll, _) = batch_loss(params, cfg, batch, training=False,
+                                    loss_impl=loss_impl)
+        return {"loss": loss, "nll": nll}
+
+    return jax.jit(eval_step)

@@ -1,0 +1,121 @@
+"""Record shard round-trip + bucketing/padding pipeline tests."""
+
+import numpy as np
+import pytest
+
+from rnnt_tpu.config import tiny_config
+from rnnt_tpu.data import records
+from rnnt_tpu.data.pipeline import (
+    bucket_batches, pad_batch, preprocess_utterance)
+from rnnt_tpu.data.tokenizer import CharTokenizer
+from rnnt_tpu.data.audio_io import read_wav, write_wav
+
+
+def _ex(t, u, feat=8, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(1, 30, u).astype(np.int32)
+    return {
+        "mel_specs": rng.standard_normal((t, feat)).astype(np.float32),
+        "pred_inp": np.concatenate([[0], labels]).astype(np.int32),
+        "labels": labels,
+        "spec_lengths": np.int32(t),
+        "label_lengths": np.int32(u),
+    }
+
+
+def test_records_roundtrip(tmp_path):
+    exs = [_ex(10, 3, seed=1), _ex(20, 5, seed=2), _ex(7, 2, seed=3)]
+    paths = records.write_shards(
+        iter(exs), str(tmp_path / "train-{shard:03d}-of-{total:03d}.rnr"),
+        num_shards=2)
+    assert len(paths) == 2
+    got = list(records.read_shards(str(tmp_path / "train-*.rnr")))
+    assert len(got) == 3
+    # round-robin: shard0 has ex0, ex2; shard1 has ex1
+    by_len = sorted(got, key=lambda e: int(e["spec_lengths"]))
+    np.testing.assert_array_equal(by_len[1]["mel_specs"], exs[0]["mel_specs"])
+    for e in got:
+        assert set(e) == set(exs[0])
+
+
+def test_records_crc_detects_corruption(tmp_path):
+    path = str(tmp_path / "x.rnr")
+    with records.RecordShardWriter(path) as w:
+        w.write(_ex(5, 2))
+    raw = bytearray(open(path, "rb").read())
+    raw[-3] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        list(records.read_shard(path))
+
+
+def test_host_disjoint_shards(tmp_path):
+    exs = [_ex(5 + i, 2, seed=i) for i in range(6)]
+    records.write_shards(iter(exs), str(tmp_path / "s-{shard}-{total}.rnr"),
+                         num_shards=4)
+    a = list(records.read_shards(str(tmp_path / "s-*.rnr"),
+                                 process_index=0, process_count=2))
+    b = list(records.read_shards(str(tmp_path / "s-*.rnr"),
+                                 process_index=1, process_count=2))
+    assert len(a) + len(b) == 6
+    lens_a = {int(e["spec_lengths"]) for e in a}
+    lens_b = {int(e["spec_lengths"]) for e in b}
+    assert not (lens_a & lens_b)
+
+
+def test_bucket_batches_shapes():
+    exs = [_ex(t, u, seed=t * 10 + u)
+           for t, u in [(50, 10), (60, 12), (100, 20), (120, 30), (500, 100),
+                        (40, 8), (55, 14)]]
+    batches = list(bucket_batches(iter(exs), batch_size=2,
+                                  t_buckets=[64, 128, 512],
+                                  u_buckets=[16, 32, 128]))
+    assert batches  # got something
+    seen_shapes = set()
+    total_real = 0
+    for b in batches:
+        B, T, F = b["mel_specs"].shape
+        assert B == 2
+        assert T in (64, 128, 512)
+        assert b["labels"].shape[1] in (16, 32, 128)
+        assert b["pred_inp"].shape[1] == b["labels"].shape[1] + 1
+        seen_shapes.add((T, b["labels"].shape[1]))
+        n_real = int(b.get("num_real", 2))
+        total_real += n_real
+        # padding is zeros beyond lengths (real rows only; repeat-padded
+        # filler rows keep their content but get zeroed lengths)
+        for i in range(n_real):
+            t = int(b["spec_lengths"][i])
+            assert np.all(b["mel_specs"][i, t:] == 0)
+    assert total_real == len(exs)
+
+
+def test_pad_batch_contents():
+    exs = [_ex(5, 2, seed=1), _ex(8, 3, seed=2)]
+    b = pad_batch(exs, 10, 4)
+    np.testing.assert_array_equal(b["mel_specs"][0, :5], exs[0]["mel_specs"])
+    np.testing.assert_array_equal(b["labels"][1, :3], exs[1]["labels"])
+    assert b["labels"][0, 2:].sum() == 0
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    t = np.linspace(0, 1, sr, endpoint=False)
+    audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, audio, sr)
+    got, got_sr = read_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(got, audio, atol=1e-4)
+
+
+def test_preprocess_utterance():
+    cfg = tiny_config(mel_bins=16, downsample_factor=1, sample_rate=16000)
+    tok = CharTokenizer()
+    audio = np.random.default_rng(0).standard_normal(8000).astype(np.float32)
+    ex = preprocess_utterance(audio, 16000, "Hello World", tok, cfg)
+    assert ex["labels"].shape[0] == 11
+    assert ex["pred_inp"][0] == 0  # preprocessing.py:181 prepended start
+    np.testing.assert_array_equal(ex["pred_inp"][1:], ex["labels"])
+    assert ex["mel_specs"].shape[1] == 16
+    assert int(ex["spec_lengths"]) == ex["mel_specs"].shape[0]

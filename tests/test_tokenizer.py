@@ -1,0 +1,87 @@
+"""Tokenizer round-trips, persistence, and metric correctness."""
+
+import numpy as np
+
+from rnnt_tpu.data.tokenizer import (
+    CharTokenizer, SubwordTokenizer, get_tokenizer, normalize_text)
+from rnnt_tpu.metrics import accuracy, cer, edit_distance, error_rate, wer
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    'HELLO world "this" is a test',
+    "speech recognition with transducers",
+    "the lazy dog sleeps all day",
+    "hello hello hello world world",
+    "quick quick brown brown fox",
+] * 4
+
+
+def test_normalize_text():
+    assert normalize_text('Hello "World"') == "hello world"  # preprocessing.py:24-29
+
+
+def test_char_tokenizer_roundtrip():
+    tok = CharTokenizer()
+    assert tok.vocab_size == 31  # vocabulary.py:1-6
+    ids = tok.encode("Hello World")
+    assert tok.decode(ids) == "hello world"
+    assert 0 not in ids  # no blanks in real text
+    assert tok.encode("a")[0] == 4  # '', ' ', <s>, </s>, then a
+
+
+def test_char_tokenizer_save_load(tmp_path):
+    tok = CharTokenizer()
+    tok.save(str(tmp_path))
+    tok2 = CharTokenizer.load(str(tmp_path))
+    assert tok2.vocab == tok.vocab
+
+
+def test_subword_build_encode_decode():
+    tok = SubwordTokenizer.build_from_corpus(CORPUS, target_vocab_size=100)
+    assert tok.pieces[0] == ""
+    assert tok.vocab_size <= 100
+    for text in ["the quick brown fox", "hello world", "lazy dog"]:
+        ids = tok.encode(text)
+        assert ids and all(i > 0 for i in ids)
+        assert tok.decode(ids) == text
+    # unseen-but-same-alphabet words still encodable via char fallback
+    assert tok.decode(tok.encode("boxer")) == "boxer"
+
+
+def test_subword_save_load(tmp_path):
+    tok = SubwordTokenizer.build_from_corpus(CORPUS, target_vocab_size=64)
+    tok.save(str(tmp_path))
+    tok2 = SubwordTokenizer.load(str(tmp_path))
+    assert tok2.pieces == tok.pieces
+    assert tok2.encode("hello world") == tok.encode("hello world")
+
+
+def test_get_tokenizer_build_or_load(tmp_path):
+    t1 = get_tokenizer(str(tmp_path), "word-piece", 64, corpus=CORPUS)
+    t2 = get_tokenizer(str(tmp_path), "word-piece", 64)  # loads persisted
+    assert t1.pieces == t2.pieces
+    assert isinstance(get_tokenizer(str(tmp_path), "character", 31), CharTokenizer)
+
+
+# --- metrics (ref: utils/metrics.py) ---
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("abc", "abc") == 0
+
+
+def test_error_rate_normalization():
+    # normalized by max(len) — metrics.py:11,24
+    assert error_rate("abcd", "ab") == 2 / 4
+    assert error_rate("", "") == 0.0
+
+
+def test_accuracy_and_wer():
+    refs = ["the cat sat", "hello world"]
+    hyps = ["the cat sat", "hello word"]
+    assert accuracy(refs, hyps) < 1.0
+    assert wer(refs, refs) == 0.0
+    assert wer(refs, hyps) == 0.25  # 0 + 1/2 errors -> mean .25
+    assert cer(["abc"], ["abd"]) == 1 / 3
