@@ -1,22 +1,33 @@
 """Transducer beam-search decoding, batched and jit-able.
 
 The reference has greedy decoding only (utils/decoding.py); beam search is a
-driver north-star config (BASELINE.json config #3).  This is the standard
-breadth-first transducer beam search (the torchaudio/"modified Graves"
-variant): at every encoder frame, each of the K hypotheses either emits blank
-(advance to the next frame, score += blank logprob) or emits a label
-(score += label logprob, pred-net state advances), expansions capped at
-`expansions_per_frame`; after each frame the global top-K survive.
+driver north-star config (BASELINE.json config #3).  Algorithm: breadth-first
+transducer beam search with a per-frame expansion cap (the torchaudio-style
+"modified" search).  Per encoder frame:
 
-TPU-first layout: hypotheses live as a [B, K, ...] SoA pytree — pred-net
-states [B*K, ...], token buffers [B, K, L] — so every step is a batched
-matmul over B*K lattice cells; top-K is `jax.lax.top_k` over the K*(V_keep+1)
-candidate scores.  No Python loops over hypotheses.
+  settled  <- empty pool (K slots, scores -inf)
+  expanding <- current beam (K hyps)
+  repeat `expansions_per_frame` times:
+      logp = joint(enc_t, expanding)
+      blank moves  : expanding hyps + blank_lp  -> merged into `settled`
+                     (top-K of settled ∪ blanked, full state gathered)
+      label moves  : top-K over K x Vk label expansions -> new `expanding`
+                     (tokens appended, pred-net state advanced)
+  force-settle the remaining expanding hyps with one blank move;
+  new beam = `settled`.
+
+Hypotheses that reach the same prefix along different alignments are kept as
+duplicates rather than logaddexp-merged (standard practical simplification;
+the highest-scoring copy dominates the pool).
+
+TPU-first layout: hypotheses are a [B, K, ...] SoA pytree; every joint/pred
+step is one batched matmul over B*K cells; selection is `jax.lax.top_k`.
+No Python loops over hypotheses.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,20 +37,35 @@ from rnnt_tpu.models.transducer import Transducer
 NEG = -1e30
 
 
-def _flat(tree):
-    return jax.tree_util.tree_map(lambda x: x.reshape((-1,) + x.shape[2:]), tree)
+class Beam(NamedTuple):
+    """SoA beam state; leaves lead with [B, K, ...]."""
+
+    scores: jnp.ndarray     # [B, K]
+    tokens: jnp.ndarray     # [B, K, L]
+    lengths: jnp.ndarray    # [B, K]
+    pred_out: jnp.ndarray   # [B, K, P]
+    pred_state: object      # pytree, leaves [B, K, ...]
 
 
-def _unflat(tree, B, K):
-    return jax.tree_util.tree_map(lambda x: x.reshape((B, K) + x.shape[1:]), tree)
-
-
-def _gather_beam(tree, idx):
-    """tree leaves [B, K, ...] gathered along K with idx [B, K']."""
+def _gather(tree, idx):
+    """Gather leaves [B, K, ...] along K with idx [B, K']."""
     def g(x):
         return jnp.take_along_axis(
-            x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+            x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)).astype(jnp.int32),
+            axis=1)
     return jax.tree_util.tree_map(g, tree)
+
+
+def _concat(a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.concatenate([x, y], 1), a, b)
+
+
+def _top_k_beam(beam: Beam, k: int) -> Beam:
+    scores, idx = jax.lax.top_k(beam.scores, k)
+    rest = _gather(Beam(beam.scores, beam.tokens, beam.lengths,
+                        beam.pred_out, beam.pred_state), idx)
+    return Beam(scores, rest.tokens, rest.lengths, rest.pred_out,
+                rest.pred_state)
 
 
 def beam_search_encoded(
@@ -53,155 +79,102 @@ def beam_search_encoded(
     expansions_per_frame: int = 3,
     prune_vocab: int = 16,
 ):
-    """Returns (tokens [B, max_output_length], lengths [B], scores [B, K]).
-
-    prune_vocab: per-expansion only the top-`prune_vocab` labels compete for
-    beam slots (scores are exact for survivors; standard beam pruning).
-    """
+    """Returns (best tokens [B, L], best lengths [B], beam scores [B, K])."""
     cfg = model.cfg
     B, T, _ = encoded.shape
     K = beam_width
     Vk = min(prune_vocab, cfg.vocab_size - 1)
     L = max_output_length
 
-    # hyp state (SoA): scores [B,K], tokens [B,K,L], lengths [B,K],
-    # pred-net output [B,K,P] and state [B,K,...]
     pred_state0 = model.prediction_zero_state(B * K, encoded.dtype)
     pred_out0, pred_state0 = model.predict_step(
         params, jnp.zeros((B * K,), jnp.int32), pred_state0)
     P = pred_out0.shape[-1]
 
-    scores = jnp.full((B, K), NEG).at[:, 0].set(0.0)  # only hyp 0 live at start
-    tokens = jnp.zeros((B, K, L), jnp.int32)
-    lengths = jnp.zeros((B, K), jnp.int32)
-    pred_out = pred_out0.reshape(B, K, P)
-    pred_state = _unflat(pred_state0, B, K)
+    def unflat(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B, K) + x.shape[1:]), tree)
 
-    def frame_body(t, carry):
-        scores, tokens, lengths, pred_out, pred_state = carry
-        enc_t = encoded[:, t, :]                       # [B, P]
-        frame_valid = t < enc_lengths                  # [B]
+    def flat(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B * K,) + x.shape[2:]), tree)
 
-        # expansion loop within the frame: some hyps keep emitting labels,
-        # ones that took blank are "settled" for this frame.
-        def exp_body(e, ec):
-            (scores, tokens, lengths, pred_out, pred_state,
-             settled, settled_scores) = ec
-            # joint over all B*K cells
-            logits = model.joint_step(
-                params,
-                jnp.repeat(enc_t, K, axis=0),          # [B*K, P]
-                pred_out.reshape(B * K, P))
-            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, -1)
+    beam = Beam(
+        scores=jnp.full((B, K), NEG).at[:, 0].set(0.0),  # hyp 0 live at start
+        tokens=jnp.zeros((B, K, L), jnp.int32),
+        lengths=jnp.zeros((B, K), jnp.int32),
+        pred_out=pred_out0.reshape(B, K, P),
+        pred_state=unflat(pred_state0),
+    )
 
-            blank_lp = logp[..., 0]                    # [B, K]
-            # settle via blank: hyp stops expanding this frame
-            new_settled_scores = jnp.where(
-                settled, settled_scores,
-                jnp.maximum(settled_scores, scores + blank_lp))
-            # (max over multiple blank paths into the same prefix this frame)
-
-            lab_lp, lab_ids = jax.lax.top_k(logp[..., 1:], Vk)  # [B,K,Vk]
-            lab_ids = lab_ids + 1
-            cand_scores = jnp.where(
-                settled[..., None] | (lengths >= L)[..., None],
-                NEG, scores[..., None] + lab_lp)       # [B, K, Vk]
-
-            # pick top-K label expansions across all hyps
-            flat = cand_scores.reshape(B, K * Vk)
-            top_scores, top_idx = jax.lax.top_k(flat, K)  # [B, K]
-            src_hyp = top_idx // Vk                    # [B, K]
-            src_lab = jnp.take_along_axis(
-                lab_ids.reshape(B, K * Vk), top_idx, axis=1)  # [B, K]
-
-            # gather parent hyp state
-            new_tokens = _gather_beam(tokens[..., None], src_hyp)[..., 0] \
-                if False else jnp.take_along_axis(
-                    tokens, src_hyp[..., None], axis=1)
-            new_lengths = jnp.take_along_axis(lengths, src_hyp, axis=1)
-            new_pred_out = jnp.take_along_axis(
-                pred_out, src_hyp[..., None], axis=1)
-            new_pred_state = _gather_beam(pred_state, src_hyp)
-
-            # append label
-            slot = jnp.minimum(new_lengths, L - 1)
-            new_tokens = jnp.where(
-                (top_scores > NEG / 2)[..., None]
-                & (jax.lax.broadcasted_iota(jnp.int32, (B, K, L), 2)
-                   == slot[..., None]),
-                src_lab[..., None], new_tokens)
-            emit_ok = top_scores > NEG / 2
-            new_lengths = new_lengths + emit_ok.astype(jnp.int32)
-
-            # advance pred net for the emitted labels
-            adv_out, adv_state = model.predict_step(
-                params, src_lab.reshape(B * K), _flat(new_pred_state))
-            adv_out = adv_out.reshape(B, K, P)
-            adv_state = _unflat(adv_state, B, K)
-            new_pred_out = jnp.where(emit_ok[..., None], adv_out, new_pred_out)
-            new_pred_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    emit_ok.reshape((B, K) + (1,) * (a.ndim - 2)), a, b),
-                adv_state, new_pred_state)
-
-            # frames beyond enc_length: freeze everything
-            keep = ~frame_valid
-            def frz(new, old):
-                return jnp.where(keep.reshape((B,) + (1,) * (new.ndim - 1)),
-                                 old, new)
-            return (frz(top_scores, scores), frz(new_tokens, tokens),
-                    frz(new_lengths, lengths), frz(new_pred_out, pred_out),
-                    jax.tree_util.tree_map(frz, new_pred_state, pred_state),
-                    frz(jnp.zeros_like(settled), settled),
-                    frz(new_settled_scores, settled_scores))
-
-        settled0 = jnp.zeros((B, K), bool)
-        settled_scores0 = jnp.full((B, K), NEG)
-        (exp_scores, exp_tokens, exp_lengths, exp_pred_out, exp_pred_state,
-         _, settled_scores) = jax.lax.fori_loop(
-            0, expansions_per_frame, exp_body,
-            (scores, tokens, lengths, pred_out, pred_state,
-             settled0, settled_scores0))
-
-        # after expansions: merge "settled" (blank-taken) hypotheses with the
-        # final expanded set; settled ones carry the ORIGINAL prefix states.
-        all_scores = jnp.concatenate([settled_scores, exp_scores + NEG], 1)
-        # expanded-but-never-blanked hyps must still take a blank to move to
-        # the next frame — handled by adding their blank lp:
+    def blank_lp_of(expanding: Beam, enc_t):
         logits = model.joint_step(
             params, jnp.repeat(enc_t, K, axis=0),
-            exp_pred_out.reshape(B * K, P))
-        blank_lp = jax.nn.log_softmax(logits, -1).reshape(B, K, -1)[..., 0]
-        all_scores = jnp.concatenate(
-            [settled_scores, exp_scores + blank_lp], axis=1)  # [B, 2K]
+            expanding.pred_out.reshape(B * K, P))
+        return jax.nn.log_softmax(logits, -1).reshape(B, K, -1)
 
-        all_tokens = jnp.concatenate([tokens, exp_tokens], 1)
-        all_lengths = jnp.concatenate([lengths, exp_lengths], 1)
-        all_pred_out = jnp.concatenate([pred_out, exp_pred_out], 1)
-        all_pred_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b], 1), pred_state, exp_pred_state)
+    def frame_body(t, beam: Beam) -> Beam:
+        enc_t = encoded[:, t, :]
+        frame_valid = (t < enc_lengths)  # [B]
 
-        top_scores, top_idx = jax.lax.top_k(all_scores, K)
-        new_tokens = jnp.take_along_axis(all_tokens, top_idx[..., None], 1)
-        new_lengths = jnp.take_along_axis(all_lengths, top_idx, 1)
-        new_pred_out = jnp.take_along_axis(all_pred_out, top_idx[..., None], 1)
-        new_pred_state = _gather_beam(all_pred_state, top_idx)
+        settled = Beam(
+            scores=jnp.full((B, K), NEG),
+            tokens=beam.tokens, lengths=beam.lengths,
+            pred_out=beam.pred_out, pred_state=beam.pred_state)
+        expanding = beam
 
-        def frz(new, old):
+        def expand_once(carry, _):
+            expanding, settled = carry
+            logp = blank_lp_of(expanding, enc_t)          # [B, K, V]
+
+            # blank moves -> settled pool
+            blanked = expanding._replace(
+                scores=expanding.scores + logp[..., 0])
+            settled = _top_k_beam(_concat(settled, blanked), K)
+
+            # label moves -> next expanding set
+            lab_lp, lab_ids = jax.lax.top_k(logp[..., 1:], Vk)  # [B, K, Vk]
+            lab_ids = lab_ids + 1
+            cand = jnp.where(
+                (expanding.lengths >= L)[..., None], NEG,
+                expanding.scores[..., None] + lab_lp)     # [B, K, Vk]
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * Vk), K)
+            src_hyp = top_idx // Vk
+            src_lab = jnp.take_along_axis(
+                lab_ids.reshape(B, K * Vk), top_idx, axis=1)
+
+            parent = _gather(expanding, src_hyp)
+            slot = jnp.minimum(parent.lengths, L - 1)
+            tokens = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (B, K, L), 2)
+                == slot[..., None],
+                src_lab[..., None], parent.tokens)
+            lengths = parent.lengths + (top_scores > NEG / 2).astype(jnp.int32)
+
+            adv_out, adv_state = model.predict_step(
+                params, src_lab.reshape(B * K), flat(parent.pred_state))
+            expanding = Beam(top_scores, tokens, lengths,
+                             adv_out.reshape(B, K, P), unflat(adv_state))
+            return (expanding, settled), None
+
+        (expanding, settled), _ = jax.lax.scan(
+            expand_once, (expanding, settled), None,
+            length=expansions_per_frame)
+
+        # force-settle whatever is still expanding
+        logp = blank_lp_of(expanding, enc_t)
+        blanked = expanding._replace(scores=expanding.scores + logp[..., 0])
+        new_beam = _top_k_beam(_concat(settled, blanked), K)
+
+        # frames beyond this utterance's length: keep the old beam
+        def keep_old(new, old):
             return jnp.where(
-                (~frame_valid).reshape((B,) + (1,) * (new.ndim - 1)), old, new)
-        return (frz(top_scores, scores), frz(new_tokens, tokens),
-                frz(new_lengths, lengths), frz(new_pred_out, pred_out),
-                jax.tree_util.tree_map(frz, new_pred_state, pred_state))
+                frame_valid.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
+        return jax.tree_util.tree_map(keep_old, new_beam, beam)
 
-    carry = (scores, tokens, lengths, pred_out, pred_state)
-    scores, tokens, lengths, pred_out, pred_state = jax.lax.fori_loop(
-        0, T, frame_body, carry)
-
-    # best hypothesis = index 0 after the last top_k (scores sorted desc)
-    best_tokens = tokens[:, 0, :]
-    best_lengths = lengths[:, 0]
-    return best_tokens, best_lengths, scores
+    beam = jax.lax.fori_loop(0, T, frame_body, beam)
+    # scores sorted desc by the final top_k: slot 0 is the best hypothesis
+    return beam.tokens[:, 0, :], beam.lengths[:, 0], beam.scores
 
 
 def beam_search_decode(
@@ -212,7 +185,9 @@ def beam_search_decode(
     *,
     beam_width: int = 4,
     max_output_length: int = 200,
+    expansions_per_frame: int = 3,
 ):
+    """Featurized audio -> best token sequence via beam search."""
     B, T, _ = mel_specs.shape
     if spec_lengths is None:
         spec_lengths = jnp.full((B,), T, jnp.int32)
@@ -220,4 +195,5 @@ def beam_search_decode(
     enc_lengths = model.encoded_length(spec_lengths)
     return beam_search_encoded(
         model, params, encoded, enc_lengths, beam_width=beam_width,
-        max_output_length=max_output_length)
+        max_output_length=max_output_length,
+        expansions_per_frame=expansions_per_frame)

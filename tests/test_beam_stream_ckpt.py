@@ -1,0 +1,169 @@
+"""Beam search, streaming transcriber, checkpoint resume, quantization."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_tpu.config import tiny_config
+from rnnt_tpu.data.tokenizer import CharTokenizer
+from rnnt_tpu.decode.beam import beam_search_decode
+from rnnt_tpu.decode.greedy import greedy_decode
+from rnnt_tpu.decode.streaming import StreamingTranscriber
+from rnnt_tpu.models.transducer import Transducer, init_transducer_params
+from rnnt_tpu.ops.quantize import (
+    dequantize_params, load_quantized, quantize_params, quantized_size_bytes,
+    save_quantized)
+from rnnt_tpu.train import checkpoint as ckpt_mod
+from rnnt_tpu.train.state import create_train_state
+from rnnt_tpu.train.steps import make_train_step
+
+CFG = tiny_config(
+    vocab_size=8, encoder_layers=2, encoder_size=24, projection_size=16,
+    pred_net_layers=1, pred_net_size=24, joint_size=16, embedding_size=8,
+    mel_bins=6, max_symbols_per_frame=4, learning_rate=0.3,
+    grad_clip_norm=1.0)
+
+
+def _overfit_state(steps=200, tol=0.05):
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step_fn = make_train_step(CFG, donate=False)
+    B, T, U = 2, 8, 2
+    rng = np.random.default_rng(5)
+    labels = jnp.asarray([[3, 5], [6, 2]], jnp.int32)
+    batch = {
+        "mel_specs": jnp.asarray(
+            rng.standard_normal((B, T, CFG.input_feat_size)), jnp.float32),
+        "pred_inp": jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), labels], axis=1),
+        "labels": labels,
+        "spec_lengths": jnp.full((B,), T, jnp.int32),
+        "label_lengths": jnp.full((B,), U, jnp.int32),
+    }
+    key = jax.random.PRNGKey(2)
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step_fn(state, batch, sub)
+        if float(m["loss"]) < tol:
+            break
+    return state, batch, labels, float(m["loss"])
+
+
+def test_beam_matches_labels_on_overfit_model():
+    state, batch, labels, loss = _overfit_state()
+    assert loss < 0.5, loss
+    model = Transducer(CFG)
+    tokens, lengths, scores = beam_search_decode(
+        model, state.params, batch["mel_specs"], batch["spec_lengths"],
+        beam_width=3, max_output_length=8)
+    for i in range(labels.shape[0]):
+        got = np.asarray(tokens)[i, : int(lengths[i])]
+        np.testing.assert_array_equal(got, np.asarray(labels[i]))
+    # scores sorted descending, best is finite log-prob <= 0
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-5)
+    assert np.all(s[:, 0] <= 1e-3) and np.all(s[:, 0] > -50)
+
+    # greedy agrees on an overfit model
+    gtok, glen = greedy_decode(model, state.params, batch["mel_specs"],
+                               batch["spec_lengths"], max_output_length=8)
+    np.testing.assert_array_equal(np.asarray(glen), np.asarray(lengths))
+
+
+def test_beam_all_blank_model_decodes_empty():
+    model = Transducer(CFG)
+    params = init_transducer_params(jax.random.PRNGKey(0), CFG)
+    params["joint"]["b2"] = params["joint"]["b2"].at[0].set(100.0)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 8, CFG.input_feat_size))
+    tokens, lengths, scores = beam_search_decode(
+        model, params, mel, beam_width=2, max_output_length=8)
+    np.testing.assert_array_equal(np.asarray(lengths), 0)
+
+
+def test_streaming_transcriber_runs_and_resets():
+    state, batch, labels, loss = _overfit_state()
+    tok = CharTokenizer()
+    cfg = CFG.replace(sample_rate=16000)
+    st = StreamingTranscriber(cfg, state.params, tok)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    out1 = ""
+    for off in range(0, len(audio), 1600):
+        out1 = st.process_chunk(audio[off: off + 1600])
+    assert isinstance(out1, str)
+    st.reset()
+    assert st.text == ""
+    out2 = ""
+    for off in range(0, len(audio), 1600):
+        out2 = st.process_chunk(audio[off: off + 1600])
+    assert out2 == out1  # deterministic across resets
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state, batch, labels, _ = _overfit_state(steps=3, tol=-1)
+    path = ckpt_mod.save_checkpoint(str(tmp_path), state, CFG)
+    assert os.path.isdir(path)
+    cfg2 = ckpt_mod.load_config(str(tmp_path))
+    assert cfg2 == CFG
+    restored = ckpt_mod.restore_checkpoint(str(tmp_path), cfg2)
+    assert int(np.asarray(restored.step)) == int(np.asarray(state.step))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues identically (optimizer state preserved)
+    step_fn = make_train_step(CFG, donate=False)
+    key = jax.random.PRNGKey(9)
+    s1, m1 = step_fn(state, batch, key)
+    s2, m2 = step_fn(restored, batch, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_pruning(tmp_path):
+    state, _, _, _ = _overfit_state(steps=1, tol=-1)
+    for step in range(1, 9):
+        state = state._replace(step=jnp.asarray(step, jnp.int32))
+        ckpt_mod.save_checkpoint(str(tmp_path), state, CFG, keep=3)
+    steps = ckpt_mod.list_checkpoint_steps(str(tmp_path))
+    assert steps == [6, 7, 8]
+    assert ckpt_mod.latest_checkpoint(str(tmp_path)).endswith("checkpoint_00000008")
+
+
+def test_quantize_roundtrip(tmp_path):
+    params = init_transducer_params(jax.random.PRNGKey(0), CFG)
+    q = quantize_params(params)
+    fp_bytes = sum(np.asarray(x).nbytes
+                   for x in jax.tree_util.tree_leaves(params))
+    assert quantized_size_bytes(q) < fp_bytes / 2.5
+    deq = dequantize_params(q, jnp.float32)
+    # int8 per-channel error bound: |w - deq| <= scale/2 <= max|w|/254
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(deq)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.max(np.abs(a - b)) <= max(np.max(np.abs(a)) / 127, 1e-6)
+
+    path = str(tmp_path / "q.npz")
+    save_quantized(path, q)
+    q2 = load_quantized(path, params)
+    is_q = lambda x: isinstance(x, dict) and set(x) == {"q", "s"}
+    for a, b in zip(jax.tree_util.tree_leaves(q, is_leaf=is_q),
+                    jax.tree_util.tree_leaves(q2, is_leaf=is_q)):
+        if isinstance(a, dict):
+            np.testing.assert_array_equal(a["q"], b["q"])
+            np.testing.assert_array_equal(a["s"], b["s"])
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantized_decode_matches_fp_on_overfit_model():
+    """int8 weight quantization must not change decode on a confident model
+    (the WER-delta check, BASELINE.md int8 metric, in miniature)."""
+    state, batch, labels, loss = _overfit_state()
+    assert loss < 0.5
+    model = Transducer(CFG)
+    deq = dequantize_params(quantize_params(state.params), jnp.float32)
+    tokens, lengths = greedy_decode(model, deq, batch["mel_specs"],
+                                    batch["spec_lengths"], max_output_length=8)
+    for i in range(labels.shape[0]):
+        got = np.asarray(tokens)[i, : int(lengths[i])]
+        np.testing.assert_array_equal(got, np.asarray(labels[i]))
