@@ -31,8 +31,10 @@ def main():
 
     cfg = RNNTConfig(compute_dtype="bfloat16")
 
-    # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64.
-    B, T, U = 8, 256, 64
+    # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64;
+    # B=32 matches the reference default batch (run_rnnt.py:44-46) and is the
+    # largest that fits with the fp32 [B,T,U,V] loss lattice on one v5e chip.
+    B, T, U = 32, 256, 64
     seconds_per_frame = cfg.frame_step * cfg.downsample_factor  # 0.03
     audio_seconds_per_batch = B * T * seconds_per_frame
 

@@ -32,14 +32,13 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, *, impl: str = "auto
       label_lengths: [B] valid label counts.
       impl: "auto" | "ref" | "pallas".
     """
-    if impl == "ref":
-        return rnnt_loss_ref(logits, labels, logit_lengths, label_lengths)
-    if impl == "pallas" or (impl == "auto" and _on_tpu()):
-        try:
-            from rnnt_tpu.ops.rnnt_loss_pallas import rnnt_loss_pallas
+    if impl == "pallas":
+        from rnnt_tpu.ops.rnnt_loss_pallas import rnnt_loss_pallas
 
-            return rnnt_loss_pallas(logits, labels, logit_lengths, label_lengths)
-        except ImportError:
-            if impl == "pallas":
-                raise
+        return rnnt_loss_pallas(logits, labels, logit_lengths, label_lengths)
+    # "auto" currently routes to the pure-JAX path: measured on v5e, the XLA
+    # scan lattice beats the Pallas lattice kernel inside the full train step
+    # (83.5 vs 107.5 ms at B=8,T=256,U=64) — the lattice recursion is not the
+    # bottleneck; the [B,T,U,V] bandwidth is, which the fused joint+loss
+    # kernel addresses instead.
     return rnnt_loss_ref(logits, labels, logit_lengths, label_lengths)

@@ -114,27 +114,34 @@ def _beta_scan(
     return jnp.flip(jnp.moveaxis(betas, 0, 1), 1)
 
 
-def _gather_coeffs(log_probs, labels, label_lengths):
-    """Blank/emit coefficient planes b[t,u] and e[t,u] from [B,T,U+1,V] log-probs."""
-    B, T, U1, V = log_probs.shape
-    b = log_probs[..., 0]  # blank id == 0 (vocabulary.py:4)
+def _gather_coeffs(logits32, labels, label_lengths):
+    """Per-cell log-softmax denominator and blank/emit coefficient planes.
+
+    Never materializes the [B,T,U+1,V] log-probs: the denominator [B,T,U+1]
+    is the only V-reduction stored; b/e come from two fused gathers.  (The
+    backward pass reconstructs softmax from logits - denom elementwise.)
+    """
+    B, T, U1, V = logits32.shape
+    mx = jnp.max(logits32, axis=-1)
+    denom = mx + jnp.log(jnp.sum(jnp.exp(logits32 - mx[..., None]), axis=-1))
+    b = logits32[..., 0] - denom  # blank id == 0 (vocabulary.py:4)
     labels_pad = jnp.concatenate(
         [labels, jnp.zeros((B, 1), labels.dtype)], axis=1
     )  # index row U safely
-    e = jnp.take_along_axis(log_probs, labels_pad[:, None, :, None], axis=-1)[..., 0]
+    e = jnp.take_along_axis(
+        logits32, labels_pad[:, None, :, None], axis=-1)[..., 0] - denom
     u_idx = jnp.arange(U1)[None, None, :]
     e = jnp.where(u_idx < label_lengths[:, None, None], e, NEG)
-    return b, e
+    return denom, b, e
 
 
 def _forward(logits, labels, logit_lengths, label_lengths):
     logits32 = logits.astype(jnp.float32)
-    log_probs = jax.nn.log_softmax(logits32, axis=-1)
-    b, e = _gather_coeffs(log_probs, labels, label_lengths)
+    denom, b, e = _gather_coeffs(logits32, labels, label_lengths)
     alpha = _alpha_scan(b, e)
     beta = _beta_scan(b, e, logit_lengths, label_lengths)
     ll = beta[:, 0, 0]  # total path log-likelihood
-    return -ll, (log_probs, b, e, alpha, beta, ll)
+    return -ll, (denom, b, e, alpha, beta, ll)
 
 
 @jax.custom_vjp
@@ -145,20 +152,19 @@ def rnnt_loss_ref(logits, labels, logit_lengths, label_lengths):
 
 
 def _fwd(logits, labels, logit_lengths, label_lengths):
-    loss, (log_probs, b, e, alpha, beta, ll) = _forward(
+    loss, (denom, b, e, alpha, beta, ll) = _forward(
         logits, labels, logit_lengths, label_lengths
     )
-    dtype_token = jnp.zeros((0,), logits.dtype)  # carries the input dtype only
-    res = (log_probs, b, e, alpha, beta, ll, labels, logit_lengths, label_lengths,
-           dtype_token)
+    res = (logits, denom, b, e, alpha, beta, ll, labels, logit_lengths,
+           label_lengths)
     return loss, res
 
 
 def _bwd(res, ct):
-    (log_probs, b, e, alpha, beta, ll, labels, logit_lengths, label_lengths,
-     dtype_token) = res
-    in_dtype = dtype_token.dtype
-    B, T, U1, V = log_probs.shape
+    (logits, denom, b, e, alpha, beta, ll, labels, logit_lengths,
+     label_lengths) = res
+    in_dtype = logits.dtype
+    B, T, U1, V = logits.shape
 
     t_idx = jnp.arange(T)[None, :, None]
     u_idx = jnp.arange(U1)[None, None, :]
@@ -178,10 +184,12 @@ def _bwd(res, ct):
     g_blank = jnp.where(valid, jnp.exp(alpha + b + beta_dn - lln), 0.0)
     g_emit = jnp.where(valid, jnp.exp(alpha + e + beta_rt - lln), 0.0)
 
-    # d(-ll)/dlogits = softmax * occ - (blank + emit scatter); emit scatter is a
-    # broadcasted one-hot product, fused by XLA (never materialized alone).
+    # d(-ll)/dlogits = softmax * occ - (blank + emit scatter).  softmax is
+    # recomputed elementwise from logits - denom (never stored); the emit
+    # scatter is a broadcasted one-hot product — the whole expression is one
+    # fused elementwise pass over [B,T,U+1,V] for XLA.
     labels_pad = jnp.concatenate([labels, jnp.zeros((B, 1), labels.dtype)], axis=1)
-    grad = jnp.exp(log_probs) * occ[..., None]
+    grad = jnp.exp(logits.astype(jnp.float32) - denom[..., None]) * occ[..., None]
     grad = grad.at[..., 0].add(-g_blank)
     onehot = jax.nn.one_hot(labels_pad, V, dtype=grad.dtype)[:, None]  # [B,1,U+1,V]
     grad = grad - g_emit[..., None] * onehot
