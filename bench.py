@@ -31,15 +31,16 @@ def main():
 
     cfg = RNNTConfig(compute_dtype="bfloat16")
 
-    # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64;
-    # B=32 matches the reference default batch (run_rnnt.py:44-46) and is the
-    # largest that fits with the fp32 [B,T,U,V] loss lattice on one v5e chip.
-    B, T, U = 32, 256, 64
+    # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64.
+    # The fused joint+loss path never materializes [B,T,U+1,V] logits and
+    # chunks its backward, so B scales to 64 on one v5e chip (the unfused
+    # fp32 lattice capped at 32).
+    B, T, U = 64, 256, 64
     seconds_per_frame = cfg.frame_step * cfg.downsample_factor  # 0.03
     audio_seconds_per_batch = B * T * seconds_per_frame
 
     state = create_train_state(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    step_fn = make_train_step(cfg, donate=False)
+    step_fn = make_train_step(cfg, loss_impl="fused", donate=False)
 
     rng = np.random.default_rng(0)
     batch = {

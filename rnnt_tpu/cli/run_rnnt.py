@@ -36,8 +36,10 @@ def parse_args(argv=None):
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="model-axis size of the device mesh")
-    p.add_argument("--loss_impl", default="auto",
-                   choices=["auto", "ref", "pallas"])
+    p.add_argument("--loss_impl", default="fused",
+                   choices=["fused", "auto", "ref", "pallas"],
+                   help="fused = joint+loss Pallas kernel (fastest, "
+                        "memory-capped); ref/pallas materialize the lattice")
     # model/config overrides
     p.add_argument("--config_override", nargs="*", default=[],
                    metavar="KEY=VALUE")
@@ -129,6 +131,7 @@ def main(argv=None):
                 steps_per_checkpoint=args.steps_per_checkpoint,
                 eval_max_batches=args.eval_size,
                 shard_batch=shard_batch,
+                loss_impl=args.loss_impl,
             )
         else:
             if not args.checkpoint:

@@ -1,0 +1,314 @@
+"""Fused joint-network + RNN-T loss.
+
+THE memory/bandwidth centerpiece of the framework (replacing what the CUDA
+warp-transducer could not do: the reference materializes the full
+[B, T, U+1, V] joint logits in HBM *twice* per step — forward activations
+plus their gradient, run_rnnt.py:269-286).  Here the forward never
+materializes the lattice logits at all:
+
+  joint (model.py:158-166):  logits[b,t,u,:] = tanh(f[b,t] + g[b,u] + b1) @ W2 + b2
+  loss needs per cell only:  denom = logsumexp_v, blank = logits[0],
+                             emit = logits[y_u]
+
+A Pallas kernel walks (t, u) tiles with W2 resident in VMEM: builds the
+tanh activation tile, runs one [cells, J] x [J, V] MXU matmul, reduces to
+the three [B, T, U+1] planes, and moves on.  HBM cost drops from
+O(B·T·U·V) to O(B·T·U) on the forward path; the backward recomputes the
+tile activations (h is O(B·T·U·J), V/J ~ 6x smaller than logits, and XLA
+fuses the softmax reconstruction into the two grad matmuls).
+
+The alpha/beta/occupancy machinery is shared with rnnt_loss_ref.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import rnnt_tpu.ops.rnnt_loss_ref as ref
+
+NEG = ref.NEG
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _plane_kernel(f_ref, g_ref, y_ref, b1_ref, w2_ref, b2_ref,
+                  denom_ref, blank_ref, emit_ref,
+                  h_scr, m_scr, s_scr, bl_scr, em_scr,
+                  *, Bt, Tt, Ut, J, Vt, nV):
+    """One (b-tile, t-tile, u-tile, v-tile) step.
+
+    V is streamed (last grid dim, fastest): an online logsumexp accumulates
+    (running max, rescaled sum) in scratch across v-tiles; the tanh
+    activation tile is computed once at v==0 and reused; outputs are written
+    at the final v-tile.  Per-cell scalars live as [C, 1] columns (keepdims)
+    — Mosaic cannot relayout lane-changing reshapes.
+    """
+    C = Bt * Tt * Ut
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        f = f_ref[...].astype(jnp.float32)      # [Bt, Tt, J]
+        g = g_ref[...].astype(jnp.float32)      # [Bt, Ut, J]
+        pre = (f[:, :, None, :] + g[:, None, :, :]
+               + b1_ref[...].astype(jnp.float32))
+        h_scr[...] = jnp.tanh(pre).reshape(C, J)
+        m_scr[...] = jnp.full((C, 1), NEG, jnp.float32)
+        s_scr[...] = jnp.zeros((C, 1), jnp.float32)
+        em_scr[...] = jnp.full((C, 1), NEG, jnp.float32)
+
+    h = h_scr[...].astype(w2_ref.dtype)
+    logits = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    logits = logits + b2_ref[...].astype(jnp.float32)   # [C, Vt]
+
+    # online logsumexp across v-tiles
+    m_old = m_scr[...]                                   # [C, 1]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1, keepdims=True))
+    s_scr[...] = (s_scr[...] * jnp.exp(m_old - m_new)
+                  + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
+    m_scr[...] = m_new
+
+    @pl.when(k == 0)
+    def _():
+        bl_scr[...] = logits[:, 0:1]
+
+    # emit: the target label's logit lives in exactly one v-tile
+    y_cell = y_ref[0]                                    # [C, 1] fp32 ids
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (C, Vt), 1) + k * Vt
+            ).astype(jnp.float32)
+    tile_emit = jnp.max(jnp.where(lane == y_cell, logits, NEG), -1,
+                        keepdims=True)
+    em_scr[...] = jnp.maximum(em_scr[...], tile_emit)
+
+    @pl.when(k == nV - 1)
+    def _():
+        denom_ref[...] = (m_scr[...] + jnp.log(s_scr[...]))[None]
+        blank_ref[...] = bl_scr[...][None]
+        emit_ref[...] = em_scr[...][None]
+
+
+def _interpret_default() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
+                    Bt: int = 8, Tt: int = 8, Ut: int = 8, Vt: int = 512):
+    """f [B,T,J], g [B,U1,J] -> (denom, blank, emit) planes [B,T,U1] fp32."""
+    interpret = _interpret_default()
+    B, T, J = f.shape
+    U1 = g.shape[1]
+    V = w2.shape[1]
+    Bt, Tt, Ut, Vt = min(Bt, 8), Tt, Ut, min(Vt, V)
+
+    Bp = _round_up(B, Bt)
+    Tp = _round_up(T, Tt)
+    U1p = _round_up(U1, Ut)
+    Vp = _round_up(V, Vt)
+    f = jnp.pad(f, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    g = jnp.pad(g, ((0, Bp - B), (0, U1p - U1), (0, 0)))
+    labels_pad = jnp.pad(labels_pad, ((0, Bp - B), (0, U1p - U1)))
+    # pad W2/b2 with NEG bias so padded vocab lanes never win max/sum
+    w2p = jnp.pad(w2, ((0, 0), (0, Vp - V)))
+    b2p = jnp.pad(b2, (0, Vp - V), constant_values=NEG)
+    nB, nT, nU, nV = Bp // Bt, Tp // Tt, U1p // Ut, Vp // Vt
+    C = Bt * Tt * Ut
+
+    # label ids in the kernel's flat cell layout [nGrid, C, 1] as fp32
+    # (ids < 2^24 are exact; avoids int relayouts Mosaic can't lower)
+    y_cells = jnp.broadcast_to(
+        labels_pad[:, None, :], (Bp, Tp, U1p)).astype(jnp.float32)
+    y_cells = y_cells.reshape(nB, Bt, nT, Tt, nU, Ut)
+    y_cells = jnp.transpose(y_cells, (0, 2, 4, 1, 3, 5)).reshape(
+        nB * nT * nU, C, 1)
+
+    grid = (nB, nT, nU, nV)
+
+    def flat_idx(ib, it, iu, k):
+        return (ib * nT + it) * nU + iu
+
+    out_spec = pl.BlockSpec((1, C, 1), lambda ib, it, iu, k:
+                            (flat_idx(ib, it, iu, k), 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_plane_kernel, Bt=Bt, Tt=Tt, Ut=Ut, J=J,
+                               Vt=Vt, nV=nV)
+    denom, blank, emit = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bt, Tt, J), lambda ib, it, iu, k: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bt, Ut, J), lambda ib, it, iu, k: (ib, iu, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda ib, it, iu, k:
+                         (flat_idx(ib, it, iu, k), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda ib, it, iu, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, Vt), lambda ib, it, iu, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vt), lambda ib, it, iu, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((nB * nT * nU, C, 1), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((C, J), jnp.float32),    # h tile
+            pltpu.VMEM((C, 1), jnp.float32),    # running max
+            pltpu.VMEM((C, 1), jnp.float32),    # running sumexp
+            pltpu.VMEM((C, 1), jnp.float32),    # blank logit
+            pltpu.VMEM((C, 1), jnp.float32),    # emit logit
+        ],
+        interpret=interpret,
+    )(f, g, y_cells, b1[None, :], w2p, b2p[None, :])
+
+    def unflatten(x):
+        x = x.reshape(nB, nT, nU, Bt, Tt, Ut)
+        x = jnp.transpose(x, (0, 3, 1, 4, 2, 5)).reshape(Bp, Tp, U1p)
+        return x[:B, :T, :U1]
+
+    return unflatten(denom), unflatten(blank), unflatten(emit)
+
+
+def _planes(f, g, b1, w2, b2, labels, label_lengths, interpret_unused=None):
+    B, U = labels.shape
+    labels_pad = jnp.concatenate([labels, jnp.zeros((B, 1), labels.dtype)], 1)
+    denom, blank, emit = _compute_planes(f, g, labels_pad, b1, w2, b2)
+    b = blank - denom  # log-softmax coefficients (ref._gather_coeffs contract)
+    e = emit - denom
+    U1 = U + 1
+    u_idx = jnp.arange(U1)[None, None, :]
+    e = jnp.where(u_idx < label_lengths[:, None, None], e, NEG)
+    return denom, b, e, labels_pad
+
+
+def _forward(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+    denom, b, e, _ = _planes(f, g, b1, w2, b2, labels, label_lengths)
+    alpha = ref._alpha_scan(b, e)
+    beta = ref._beta_scan(b, e, logit_lengths, label_lengths)
+    ll = beta[:, 0, 0]
+    return -ll, (denom, b, e, alpha, beta, ll)
+
+
+@jax.custom_vjp
+def rnnt_loss_fused(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+    """Per-example RNN-T NLL from pre-projected joint inputs.
+
+    f = enc @ W1 [B,T,J]; g = pred @ W1 [B,U+1,J] (the linear-split joint,
+    joint.py:joint_project); b1/W2/b2 are the joint nonlinearity + vocab
+    projection.  Gradients flow to f, g, b1, w2, b2.
+    """
+    loss, _ = _forward(f, g, b1, w2, b2, labels, logit_lengths, label_lengths)
+    return loss
+
+
+def _fwd(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+    loss, (denom, b, e, alpha, beta, ll) = _forward(
+        f, g, b1, w2, b2, labels, logit_lengths, label_lengths)
+    res = (f, g, b1, w2, b2, denom, b, e, alpha, beta, ll, labels,
+           logit_lengths, label_lengths)
+    return loss, res
+
+
+_BWD_CHUNK = 8  # batch rows whose [chunk,T,U+1,V] grad tensors coexist
+
+
+def _bwd(res, ct):
+    (f, g, b1, w2, b2, denom, b, e, alpha, beta, ll, labels,
+     logit_lengths, label_lengths) = res
+    B, T, J = f.shape
+    U1 = g.shape[1]
+    V = w2.shape[1]
+
+    t_idx = jnp.arange(T)[None, :, None]
+    u_idx = jnp.arange(U1)[None, None, :]
+    valid = (t_idx < logit_lengths[:, None, None]) & (
+        u_idx <= label_lengths[:, None, None])
+
+    term_row = jnp.where(u_idx[:, 0] == label_lengths[:, None], 0.0, NEG)[:, None, :]
+    beta_dn = jnp.concatenate([beta[:, 1:], jnp.full((B, 1, U1), NEG)], 1)
+    beta_dn = jnp.where(t_idx == (logit_lengths[:, None, None] - 1), term_row,
+                        beta_dn)
+    beta_rt = jnp.concatenate([beta[:, :, 1:], jnp.full((B, T, 1), NEG)], 2)
+
+    lln = ll[:, None, None]
+    occ = jnp.where(valid, jnp.exp(alpha + beta - lln), 0.0) * ct[:, None, None]
+    g_blank = (jnp.where(valid, jnp.exp(alpha + b + beta_dn - lln), 0.0)
+               * ct[:, None, None])
+    g_emit = (jnp.where(valid, jnp.exp(alpha + e + beta_rt - lln), 0.0)
+              * ct[:, None, None])
+
+    compute_dtype = w2.dtype
+    labels_pad = jnp.concatenate([labels, jnp.zeros((B, 1), labels.dtype)], 1)
+
+    def chunk_bwd(chunk):
+        """Per-batch-chunk gradient: recompute activations + softmax, never
+        holding more than [chunk,T,U+1,V] — caps memory independent of B
+        (where the unfused reference path scales O(B·T·U·V))."""
+        fc, gc, occc, gbl, gem, den, yc = chunk
+        pre = (fc.astype(jnp.float32)[:, :, None, :]
+               + gc.astype(jnp.float32)[:, None, :, :] + b1.astype(jnp.float32))
+        h = jnp.tanh(pre)
+        hb = h.astype(compute_dtype)
+
+        logits = jnp.dot(hb, w2, preferred_element_type=jnp.float32) \
+            + b2.astype(jnp.float32)
+        softmax = jnp.exp(logits - den[..., None])
+        onehot = jax.nn.one_hot(yc, V, dtype=jnp.float32)[:, None]
+        dlogits = (softmax * occc[..., None]).at[..., 0].add(-gbl) \
+            - gem[..., None] * onehot
+
+        dlb = dlogits.astype(compute_dtype)
+        dh = jnp.dot(dlb, w2.T, preferred_element_type=jnp.float32)
+        dw2_c = jax.lax.dot_general(
+            hb, dlb, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db2_c = jnp.sum(dlogits, axis=(0, 1, 2))
+
+        dpre = dh * (1.0 - h * h)
+        df_c = jnp.sum(dpre, axis=2).astype(f.dtype)
+        dg_c = jnp.sum(dpre, axis=1).astype(g.dtype)
+        db1_c = jnp.sum(dpre, axis=(0, 1, 2))
+        return df_c, dg_c, db1_c, dw2_c, db2_c
+
+    nc = max(1, B // _BWD_CHUNK) if B % _BWD_CHUNK == 0 else 1
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape((nc, B // nc) + x.shape[1:]),
+        (f, g, occ, g_blank, g_emit, denom, labels_pad))
+    df, dg, db1, dw2, db2 = jax.lax.map(chunk_bwd, chunked)
+
+    f0 = jax.dtypes.float0
+    return (df.reshape(f.shape), dg.reshape(g.shape),
+            jnp.sum(db1, 0).astype(b1.dtype),
+            jnp.sum(dw2, 0).astype(w2.dtype),
+            jnp.sum(db2, 0).astype(b2.dtype),
+            np.zeros(labels.shape, f0), np.zeros(logit_lengths.shape, f0),
+            np.zeros(label_lengths.shape, f0))
+
+
+rnnt_loss_fused.defvjp(_fwd, _bwd)
+
+
+def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
+                          label_lengths):
+    """Full fused path from encoder/prediction activations.
+
+    Applies the linear split of the first joint Dense (W(h_enc+h_pred) =
+    W h_enc + W h_pred, joint.py) then the fused kernel loss.
+    """
+    w1 = joint_params["w1"]
+    f = jnp.dot(enc, w1, preferred_element_type=jnp.float32).astype(enc.dtype)
+    g = jnp.dot(pred, w1, preferred_element_type=jnp.float32).astype(pred.dtype)
+    return rnnt_loss_fused(
+        f, g, joint_params["b1"], joint_params["w2"], joint_params["b2"],
+        labels, enc_lengths, label_lengths)

@@ -94,11 +94,13 @@ def run_training(
     eval_max_batches: int = 50,
     writer: Optional[observe.MetricsWriter] = None,
     shard_batch: Optional[Callable[[Dict], Dict]] = None,
+    loss_impl: str = "fused",
 ) -> TrainState:
     """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
     (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
-    train_step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg) if eval_batches_fn else None
+    train_step = make_train_step(cfg, loss_impl=loss_impl)
+    eval_step = make_eval_step(cfg, loss_impl=loss_impl) if eval_batches_fn \
+        else None
     rng = jax.random.PRNGKey(int(np.asarray(state.step)) + 17)
 
     own_writer = writer is None

@@ -35,13 +35,33 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
     batch: dict with mel_specs [B,T,F], pred_inp [B,U+1], labels [B,U],
     spec_lengths [B] (pre-reduction frames), label_lengths [B].
     Returns (mean_loss, (per_example_loss, new_bn_stats)).
+
+    loss_impl "fused" routes through the fused joint+loss Pallas kernel
+    (never materializes [B,T,U+1,V] logits — rnnt_tpu.ops.joint_loss_fused);
+    other values materialize the joint and dispatch on rnnt_loss.
     """
     model = Transducer(cfg)
-    logits, bn_stats = model.apply(
-        params, batch["mel_specs"], batch["pred_inp"], training=training, rng=rng)
     enc_lengths = enc_mod.encoded_length(cfg, batch["spec_lengths"])
-    nll = rnnt_loss(logits, batch["labels"], enc_lengths,
-                    batch["label_lengths"], impl=loss_impl)
+    if loss_impl == "fused":
+        from rnnt_tpu.models import prediction as pred_mod
+        from rnnt_tpu.ops.joint_loss_fused import transducer_loss_fused
+
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        encoded, _, bn_stats = enc_mod.encode(
+            params["encoder"], cfg, batch["mel_specs"], training=training,
+            rng=rngs[0])
+        pred_out, _ = pred_mod.predict(
+            params["prediction"], cfg, batch["pred_inp"], training=training,
+            rng=rngs[1])
+        nll = transducer_loss_fused(
+            params["joint"], encoded, pred_out, batch["labels"],
+            enc_lengths, batch["label_lengths"])
+    else:
+        logits, bn_stats = model.apply(
+            params, batch["mel_specs"], batch["pred_inp"], training=training,
+            rng=rng)
+        nll = rnnt_loss(logits, batch["labels"], enc_lengths,
+                        batch["label_lengths"], impl=loss_impl)
     # sum/batch_size normalization (run_rnnt.py:278)
     return jnp.mean(nll), (nll, bn_stats)
 
