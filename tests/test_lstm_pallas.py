@@ -1,0 +1,81 @@
+"""Pallas LSTM sequence kernels vs the scan implementation (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_tpu.models import lstm as L
+from rnnt_tpu.ops.lstm_pallas import lstm_seq
+
+
+def _setup(seed=0, B=8, T=6, F=8, H=16, P=12):
+    key = jax.random.PRNGKey(seed)
+    params = L.init_lstm_params(key, F, H, P)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (B, T, F))
+    state = L.lstm_zero_state(B, H, P)
+    return params, x, state
+
+
+def test_forward_matches_scan():
+    params, x, state = _setup()
+    ref_out, (ref_c, ref_h) = L.lstm_layer(params, x, state)
+    out, (c_fin, h_fin) = lstm_seq(params, x, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_fin), np.asarray(ref_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_fin), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_nonzero_state():
+    params, x, _ = _setup(3)
+    B, H, P = 8, 16, 12
+    state = (jax.random.normal(jax.random.PRNGKey(7), (B, H)),
+             jax.random.normal(jax.random.PRNGKey(8), (B, P)))
+    ref_out, _ = L.lstm_layer(params, x, state)
+    out, _ = lstm_seq(params, x, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_scan():
+    params, x, state = _setup(5)
+
+    def loss_scan(p, x):
+        out, _ = L.lstm_layer(p, x, None)
+        return jnp.sum(out ** 2)
+
+    def loss_pallas(p, x):
+        B = x.shape[0]
+        st = L.lstm_zero_state(B, p["wh"].shape[1] // 4, p["wp"].shape[1])
+        out, _ = lstm_seq(p, x, st)
+        return jnp.sum(out ** 2)
+
+    gs = jax.grad(loss_scan, argnums=(0, 1))(params, x)
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gradient_through_final_h():
+    """Cotangent on the final hidden state must reach weights and inputs."""
+    params, x, state = _setup(9)
+
+    def loss_scan(p, x):
+        _, (c, h) = L.lstm_layer(p, x, None)
+        return jnp.sum(h ** 2)
+
+    def loss_pallas(p, x):
+        st = L.lstm_zero_state(x.shape[0], 16, 12)
+        _, (c, h) = lstm_seq(p, x, st)
+        return jnp.sum(h ** 2)
+
+    gs = jax.grad(loss_scan, argnums=(0, 1))(params, x)
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
