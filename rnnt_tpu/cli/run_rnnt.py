@@ -40,6 +40,15 @@ def parse_args(argv=None):
                    choices=["fused", "auto", "ref", "pallas"],
                    help="fused = joint+loss Pallas kernel (fastest, "
                         "memory-capped); ref/pallas materialize the lattice")
+    p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
+                   help="eval-time decoder (beam: BASELINE config #3)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of a few train steps "
+                        "here (the tracing capability the reference lacked, "
+                        "SURVEY.md §5)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "SPMD (each host reads a disjoint shard subset)")
     # model/config overrides
     p.add_argument("--config_override", nargs="*", default=[],
                    metavar="KEY=VALUE")
@@ -68,6 +77,11 @@ def _load_config(args):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     import jax
     import jax.numpy as jnp
@@ -119,6 +133,9 @@ def main(argv=None):
                 process_count=jax.process_count())
         return gen
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
     with jax.sharding.set_mesh(mesh):
         if args.mode == "train":
             run_training(
@@ -139,8 +156,13 @@ def main(argv=None):
                 sys.exit(1)
             split = "dev" if args.mode == "eval" else "test"
             metrics = run_evaluate(
-                cfg, state, batches(split)(), tokenizer=tokenizer)
+                cfg, state, batches(split)(), tokenizer=tokenizer,
+                decode=args.decode)
             print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {args.profile_dir}")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,9 @@ class RNNTConfig:
     learning_rate: float = 1e-4
     momentum: float = 0.9
     grad_clip_norm: float = 0.0             # 0 = off (reference has none)
+    # Gaussian input-noise augmentation, default off (ref: run_rnnt.py:241-242
+    # noise=0; the commented-in value there was 0.075)
+    input_noise_stddev: float = 0.0
 
     # Precision policy (ref: run_rnnt.py:96-99 mixed_float16; TPU uses bf16,
     # no loss scaling needed — lattice math stays fp32 inside the loss).

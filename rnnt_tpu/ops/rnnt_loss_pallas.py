@@ -188,7 +188,14 @@ _rnnt_loss_pallas.defvjp(_fwd, _bwd)
 
 
 def rnnt_loss_pallas(logits, labels, logit_lengths, label_lengths,
-                     *, interpret: bool = False):
-    """Per-example RNN-T NLL with the Pallas lattice kernel."""
+                     *, interpret=None):
+    """Per-example RNN-T NLL with the Pallas lattice kernel.
+
+    interpret=None auto-selects interpreter mode off-TPU."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:
+            interpret = True
     return _rnnt_loss_pallas(logits, labels, logit_lengths, label_lengths,
                              interpret)

@@ -37,8 +37,12 @@ def run_evaluate(
     eval_step=None,
     decode_metrics: bool = True,
     max_batches: int = 0,
+    decode: str = "greedy",
 ) -> Dict[str, float]:
-    """Evaluate loss (+ greedy-decode accuracy/CER/WER) over a dataset."""
+    """Evaluate loss (+ decode accuracy/CER/WER) over a dataset.
+
+    decode: "greedy" (default, ref parity) or "beam" (BASELINE config #3 —
+    beam-search WER vs greedy)."""
     eval_step = eval_step or make_eval_step(cfg)
     model = Transducer(cfg)
     decoder = None
@@ -53,9 +57,19 @@ def run_evaluate(
         losses.extend(np.asarray(m["nll"])[:num_real].tolist())
         if decode_metrics:
             if decoder is None:
-                decoder = make_greedy_decoder(
-                    model, state.params,
-                    max_output_length=int(batch["labels"].shape[1] * 2 + 8))
+                max_out = int(batch["labels"].shape[1] * 2 + 8)
+                if decode == "beam":
+                    from rnnt_tpu.decode.beam import beam_search_decode
+
+                    def decoder(mel, sl, _p=state.params):
+                        t, l, _ = beam_search_decode(
+                            model, _p, mel, sl,
+                            beam_width=cfg.beam_width,
+                            max_output_length=max_out)
+                        return t, l
+                else:
+                    decoder = make_greedy_decoder(
+                        model, state.params, max_output_length=max_out)
             tokens, lengths = decoder(batch["mel_specs"], batch["spec_lengths"])
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             labels = np.asarray(batch["labels"])

@@ -42,6 +42,13 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
     """
     model = Transducer(cfg)
     enc_lengths = enc_mod.encoded_length(cfg, batch["spec_lengths"])
+    if training and cfg.input_noise_stddev > 0 and rng is not None:
+        rng, nkey = jax.random.split(rng)
+        batch = dict(batch)
+        batch["mel_specs"] = batch["mel_specs"] + (
+            cfg.input_noise_stddev
+            * jax.random.normal(nkey, batch["mel_specs"].shape,
+                                batch["mel_specs"].dtype))
     if loss_impl == "fused":
         from rnnt_tpu.models import prediction as pred_mod
         from rnnt_tpu.ops.joint_loss_fused import transducer_loss_fused
