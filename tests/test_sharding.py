@@ -37,10 +37,11 @@ def test_eight_devices_available():
     assert jax.device_count() == 8  # conftest.py forced host platform count
 
 
-@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
-def test_sharded_train_step_matches_single_device(data, model):
+@pytest.mark.parametrize("data,model,impl", [
+    (8, 1, "ref"), (4, 2, "ref"), (8, 1, "fused")])
+def test_sharded_train_step_matches_single_device(data, model, impl):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
-    step_fn = make_train_step(CFG, donate=False)
+    step_fn = make_train_step(CFG, loss_impl=impl, donate=False)
     batch = _batch()
     key = jax.random.PRNGKey(1)
 
