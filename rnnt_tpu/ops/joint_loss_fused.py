@@ -102,13 +102,30 @@ def _interpret_default() -> bool:
         return True
 
 
+def _auto_vt(C: int, J: int, V: int, budget_bytes: int = 12 * 2**20) -> int:
+    """Largest v-tile fitting VMEM: logits C*Vt fp32 + W2 J*Vt bf16 + h C*J
+    fp32 (+ block buffers).  Measured on v5e at C=512: Vt 512 -> 77 TFLOP/s,
+    2048 -> 98, 4096 -> 106 standalone — but 4096 exceeds VMEM when the
+    kernel is embedded in the full train-step program, so the budget is set
+    to land on 2048 there."""
+    budget = budget_bytes - C * J * 4
+    per_vt = C * 4 + J * 2
+    vt = min(V, max(512, (budget // per_vt) // 512 * 512))
+    while V % vt != 0 and vt > 512:
+        vt -= 512
+    return vt
+
+
 def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
-                    Bt: int = 8, Tt: int = 8, Ut: int = 8, Vt: int = 512):
+                    Bt: int = 8, Tt: int = 8, Ut: int = 8,
+                    Vt: int | None = None):
     """f [B,T,J], g [B,U1,J] -> (denom, blank, emit) planes [B,T,U1] fp32."""
     interpret = _interpret_default()
     B, T, J = f.shape
     U1 = g.shape[1]
     V = w2.shape[1]
+    if Vt is None:
+        Vt = _auto_vt(min(Bt, 8) * Tt * Ut, J, V)
     Bt, Tt, Ut, Vt = min(Bt, 8), Tt, Ut, min(Vt, V)
 
     Bp = _round_up(B, Bt)
@@ -221,6 +238,9 @@ def _fwd(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
 
 
 _BWD_CHUNK = 8  # batch rows whose [chunk,T,U+1,V] grad tensors coexist
+# (swept in the FULL train step on v5e at B=64: (Vt=2048, chunk=8) -> 160ms,
+# (2048,16) -> 184ms, (512,16) -> 173ms — chunk 16 wins standalone but loses
+# embedded, likely memory-pressure scheduling)
 
 
 def _bwd(res, ct):
