@@ -1,0 +1,70 @@
+"""Streaming decode latency benchmark (BASELINE.md p50 chunk latency).
+
+Feeds fixed-size audio chunks (default 1024 samples @16 kHz = 64 ms, the
+reference's mic geometry, streaming_transcribe.py:16-17) through the
+stateful StreamingTranscriber on a randomly initialized flagship model and
+reports per-chunk latency percentiles.
+
+  python -m rnnt_tpu.cli.bench_streaming [--chunks 200] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chunks", type=int, default=100)
+    p.add_argument("--chunk_samples", type=int, default=1024)
+    p.add_argument("--tiny", action="store_true",
+                   help="debug-size model instead of the parity config")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rnnt_tpu.config import RNNTConfig, tiny_config
+    from rnnt_tpu.data.tokenizer import CharTokenizer
+    from rnnt_tpu.decode.streaming import StreamingTranscriber
+    from rnnt_tpu.models.transducer import init_transducer_params
+
+    if args.tiny:
+        cfg = tiny_config()
+    else:
+        cfg = RNNTConfig(token_type="character", vocab_size=31)
+    tok = CharTokenizer()
+    cfg = cfg.replace(vocab_size=tok.vocab_size)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = init_transducer_params(jax.random.PRNGKey(0), cfg, dtype)
+    st = StreamingTranscriber(cfg, params, tok)
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(args.chunks * args.chunk_samples)
+             .astype(np.float32) * 0.1)
+
+    lat = []
+    for i in range(args.chunks):
+        chunk = audio[i * args.chunk_samples:(i + 1) * args.chunk_samples]
+        t0 = time.perf_counter()
+        st.process_chunk(chunk)
+        lat.append(time.perf_counter() - t0)
+
+    lat_ms = np.asarray(lat[3:]) * 1e3  # skip compile warmup chunks
+    chunk_ms = args.chunk_samples / cfg.sample_rate * 1e3
+    print(json.dumps({
+        "metric": "streaming_chunk_latency_p50",
+        "value": round(float(np.percentile(lat_ms, 50)), 2),
+        "unit": "ms",
+        "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "chunk_ms": chunk_ms,
+        "real_time_factor": round(float(np.percentile(lat_ms, 50)) / chunk_ms, 3),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
