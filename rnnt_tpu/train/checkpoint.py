@@ -36,13 +36,26 @@ def _flatten(tree):
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
-                    *, keep: int = 5) -> str:
-    """Write checkpoint_{step}; prunes old ones beyond `keep`."""
+                    *, keep: int = 5, backend: str = "npz") -> str:
+    """Write checkpoint_{step}; prunes old ones beyond `keep`.
+
+    backend "npz" (default): single-host, dependency-free.  backend
+    "orbax": handles sharded/multi-host arrays (each process writes its
+    shards) — use for pod-slice training.
+    """
     step = int(np.asarray(state.step))
     path = os.path.join(ckpt_dir, f"checkpoint_{step:08d}")
-    os.makedirs(path, exist_ok=True)
     cfg.save(ckpt_dir)
 
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path) + ".orbax", state)
+        ckptr.wait_until_finished()
+        return path + ".orbax"
+
+    os.makedirs(path, exist_ok=True)
     leaves, _ = _flatten(state)
     arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     np.savez(os.path.join(path, "state.npz"), **arrs)
@@ -79,6 +92,13 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig) -> TrainState:
     """Restore a TrainState (full resume: params + momentum + step)."""
     path = path_or_dir
+    if path.endswith(".orbax") or os.path.isdir(path + ".orbax"):
+        import orbax.checkpoint as ocp
+
+        template = create_train_state(jax.random.PRNGKey(0), cfg)
+        opath = path if path.endswith(".orbax") else path + ".orbax"
+        return ocp.StandardCheckpointer().restore(
+            os.path.abspath(opath), template)
     if not os.path.exists(os.path.join(path, "state.npz")):
         latest = latest_checkpoint(path_or_dir)
         if latest is None:

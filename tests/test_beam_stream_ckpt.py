@@ -167,3 +167,12 @@ def test_quantized_decode_matches_fp_on_overfit_model():
     for i in range(labels.shape[0]):
         got = np.asarray(tokens)[i, : int(lengths[i])]
         np.testing.assert_array_equal(got, np.asarray(labels[i]))
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    state, batch, labels, _ = _overfit_state(steps=2, tol=-1)
+    path = ckpt_mod.save_checkpoint(str(tmp_path), state, CFG, backend="orbax")
+    restored = ckpt_mod.restore_checkpoint(path, CFG)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
