@@ -113,7 +113,7 @@ def main(argv=None):
 
     # state: fresh or restored (run_rnnt.py:477-478)
     if args.checkpoint:
-        state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg)
+        state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg, dtype)
     else:
         state = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
 

@@ -13,7 +13,9 @@ shard format, designed for sharded multi-host input pipelines:
 - Length-prefixed + CRC: corrupt tails are detected, shards are streamable.
 - `RecordShardWriter.round_robin` writes N shards so each host/process of a
   pod slice can own a disjoint subset (SURVEY.md §2.3 multi-host plan).
-- A C++ fast-path reader lives in rnnt_tpu/native (same format).
+- Dependency-light by design: records are raw numpy buffers, CRC32 via zlib
+  (C); the native layer (rnnt_tpu/native) covers audio decode and the loss
+  oracle, where C++ genuinely pays off.
 """
 
 from __future__ import annotations

@@ -16,7 +16,6 @@ Text normalization matches preprocessing.py:24-29 (lowercase, strip '"').
 from __future__ import annotations
 
 import collections
-import heapq
 import os
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 

@@ -57,7 +57,13 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
 
     os.makedirs(path, exist_ok=True)
     leaves, _ = _flatten(state)
-    arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrs = {}
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+            # numpy can't serialize bfloat16 — store as fp32 (lossless up-cast)
+            a = np.asarray(jax.numpy.asarray(x, jax.numpy.float32))
+        arrs[f"leaf_{i}"] = a
     np.savez(os.path.join(path, "state.npz"), **arrs)
 
     # prune
@@ -89,13 +95,18 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, f"checkpoint_{steps[-1]:08d}")
 
 
-def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig) -> TrainState:
-    """Restore a TrainState (full resume: params + momentum + step)."""
+def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig,
+                       dtype=None) -> TrainState:
+    """Restore a TrainState (full resume: params + momentum + step).
+
+    dtype: parameter dtype for the restored tree (e.g. jnp.bfloat16 to
+    continue bf16 training); default float32."""
     path = path_or_dir
     if path.endswith(".orbax") or os.path.isdir(path + ".orbax"):
         import orbax.checkpoint as ocp
 
-        template = create_train_state(jax.random.PRNGKey(0), cfg)
+        template = create_train_state(jax.random.PRNGKey(0), cfg,
+                                      dtype or jax.numpy.float32)
         opath = path if path.endswith(".orbax") else path + ".orbax"
         return ocp.StandardCheckpointer().restore(
             os.path.abspath(opath), template)
@@ -105,11 +116,16 @@ def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig) -> TrainState:
             raise FileNotFoundError(f"no checkpoint under {path_or_dir}")
         path = latest
     data = np.load(os.path.join(path, "state.npz"))
-    template = create_train_state(jax.random.PRNGKey(0), cfg)
+    template = create_train_state(jax.random.PRNGKey(0), cfg,
+                                  dtype or jax.numpy.float32)
     leaves, treedef = _flatten(template)
     new_leaves = []
     for i, tmpl in enumerate(leaves):
         arr = data[f"leaf_{i}"]
+        if arr.dtype.kind == "V":  # legacy checkpoint with raw bfloat16 bytes
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
         assert arr.shape == tmpl.shape, (
             f"leaf {i}: checkpoint shape {arr.shape} != model {tmpl.shape} "
             "(config mismatch?)")
