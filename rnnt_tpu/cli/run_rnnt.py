@@ -42,6 +42,10 @@ def parse_args(argv=None):
                         "memory-capped); ref/pallas materialize the lattice")
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
                    help="eval-time decoder (beam: BASELINE config #3)")
+    p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ",
+                   help="eval with int8-quantized weights (cli.quantize_model "
+                        "output) — measures the WER delta vs fp (BASELINE "
+                        "int8 metric)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of a few train steps "
                         "here (the tracing capability the reference lacked, "
@@ -116,6 +120,12 @@ def main(argv=None):
         state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg, dtype)
     else:
         state = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
+
+    if args.quantized:
+        from rnnt_tpu.ops.quantize import dequantize_params, load_quantized
+
+        q = load_quantized(args.quantized, state.params)
+        state = state._replace(params=dequantize_params(q, dtype))
 
     # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
     mesh = make_mesh(data=-1, model=args.model_parallel)

@@ -61,6 +61,7 @@ def run_evaluate(
                 if decode == "beam":
                     from rnnt_tpu.decode.beam import beam_search_decode
 
+                    @jax.jit
                     def decoder(mel, sl, _p=state.params):
                         t, l, _ = beam_search_decode(
                             model, _p, mel, sl,
