@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_checkpoint", type=int, default=1000)
     p.add_argument("--eval_size", type=int, default=50,
                    help="max eval batches per periodic eval (run_rnnt.py:55-57)")
+    p.add_argument("--shuffle_buffer", type=int, default=4096,
+                   help="streaming shuffle buffer for training (0 = off; "
+                        "reseeded per epoch)")
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bfloat16 params/activations (the fp16_run equivalent)")
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -135,12 +138,14 @@ def main(argv=None):
     def shard_batch(batch):
         return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
-    def batches(split):
-        def gen():
+    def batches(split, shuffle=False):
+        def gen(epoch=0):
             yield from pipeline.batches_from_shards(
                 os.path.join(args.data_dir, f"{split}-*.rnr"), args.batch_size,
                 process_index=jax.process_index(),
-                process_count=jax.process_count())
+                process_count=jax.process_count(),
+                shuffle_buffer=args.shuffle_buffer if shuffle else 0,
+                seed=epoch * 9973 + jax.process_index())
         return gen
 
     if args.profile_dir:
@@ -149,7 +154,7 @@ def main(argv=None):
     with jax.sharding.set_mesh(mesh):
         if args.mode == "train":
             run_training(
-                cfg, state, batches("train"),
+                cfg, state, batches("train", shuffle=True),
                 output_dir=args.output_dir,
                 eval_batches_fn=batches("dev"),
                 tokenizer=tokenizer,

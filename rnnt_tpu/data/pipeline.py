@@ -93,6 +93,26 @@ def pad_batch(examples: List[Dict], t_pad: int, u_pad: int) -> Dict[str, np.ndar
     }
 
 
+def shuffle_stream(examples: Iterable[Dict], buffer_size: int,
+                   seed: int = 0) -> Iterator[Dict]:
+    """Reservoir-style shuffle over a streaming iterator (the tf.data
+    .shuffle(buffer) equivalent the reference pipeline lacked): keeps
+    `buffer_size` examples resident, yields a random one per pull."""
+    if buffer_size <= 1:
+        yield from examples
+        return
+    rng = np.random.default_rng(seed)
+    buf: List[Dict] = []
+    for ex in examples:
+        buf.append(ex)
+        if len(buf) >= buffer_size:
+            idx = rng.integers(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
 def bucket_batches(
     examples: Iterable[Dict],
     batch_size: int,
@@ -139,9 +159,15 @@ def bucket_batches(
 
 def batches_from_shards(pattern: str, batch_size: int, *,
                         process_index: int = 0, process_count: int = 1,
+                        shuffle_buffer: int = 0, seed: int = 0,
                         **bucket_kw) -> Iterator[Dict[str, np.ndarray]]:
     """records shards -> bucketed padded batches (the get_dataset equivalent,
-    run_rnnt.py:66-90, with host-disjoint shard reading for multi-host)."""
+    run_rnnt.py:66-90, with host-disjoint shard reading for multi-host).
+
+    shuffle_buffer > 1 enables streaming shuffle; pass a per-epoch seed so
+    every epoch sees a different order."""
     stream = records_mod.read_shards(
         pattern, process_index=process_index, process_count=process_count)
+    if shuffle_buffer > 1:
+        stream = shuffle_stream(stream, shuffle_buffer, seed)
     yield from bucket_batches(stream, batch_size, **bucket_kw)

@@ -135,10 +135,16 @@ def run_training(
                   " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
         ckpt_mod.save_checkpoint(output_dir, state, cfg)
 
+    import inspect
+
+    takes_epoch = len(inspect.signature(train_batches_fn).parameters) >= 1
+
     step_times = []
     try:
         for epoch in range(n_epochs):
-            for batch in train_batches_fn():
+            epoch_batches = (train_batches_fn(epoch) if takes_epoch
+                             else train_batches_fn())
+            for batch in epoch_batches:
                 batch = {k: v for k, v in batch.items() if k != "num_real"}
                 if shard_batch is not None:
                     batch = shard_batch(batch)

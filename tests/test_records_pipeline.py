@@ -119,3 +119,17 @@ def test_preprocess_utterance():
     np.testing.assert_array_equal(ex["pred_inp"][1:], ex["labels"])
     assert ex["mel_specs"].shape[1] == 16
     assert int(ex["spec_lengths"]) == ex["mel_specs"].shape[0]
+
+
+def test_shuffle_stream():
+    from rnnt_tpu.data.pipeline import shuffle_stream
+
+    items = [{"i": np.int32(i)} for i in range(50)]
+    out1 = [int(e["i"]) for e in shuffle_stream(iter(items), 16, seed=1)]
+    out2 = [int(e["i"]) for e in shuffle_stream(iter(items), 16, seed=2)]
+    assert sorted(out1) == list(range(50))  # permutation, nothing lost
+    assert out1 != list(range(50))          # actually shuffled
+    assert out1 != out2                     # seed-dependent
+    # buffer 0/1 = passthrough
+    out3 = [int(e["i"]) for e in shuffle_stream(iter(items), 1, seed=1)]
+    assert out3 == list(range(50))
