@@ -136,6 +136,13 @@ def main(argv=None):
     bsh = batch_sharding(mesh)
 
     def shard_batch(batch):
+        if jax.process_count() > 1:
+            # each host holds a disjoint LOCAL batch shard; assemble the
+            # global batch-sharded array from per-process data
+            return {
+                k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
+                for k, v in batch.items()
+            }
         return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
     def batches(split, shuffle=False):

@@ -72,7 +72,11 @@ def default_buckets(max_t: int = 2000, max_u: int = 400):
 
 
 def pad_batch(examples: List[Dict], t_pad: int, u_pad: int) -> Dict[str, np.ndarray]:
-    """Stack examples, padding mel to t_pad frames and labels to u_pad."""
+    """Stack examples, padding mel to t_pad frames and labels to u_pad.
+
+    `loss_weight` [B] marks real rows (1.0) vs repeat-padding fillers (0.0,
+    set by bucket_batches) — the train step weights per-example losses by it
+    so fillers contribute neither loss nor gradient."""
     B = len(examples)
     feat = examples[0]["mel_specs"].shape[1]
     mel = np.zeros((B, t_pad, feat), np.float32)
@@ -90,6 +94,7 @@ def pad_batch(examples: List[Dict], t_pad: int, u_pad: int) -> Dict[str, np.ndar
     return {
         "mel_specs": mel, "pred_inp": pred_inp, "labels": labels,
         "spec_lengths": spec_lengths, "label_lengths": label_lengths,
+        "loss_weight": np.ones((B,), np.float32),
     }
 
 
@@ -148,11 +153,10 @@ def bucket_batches(
                 reps = (batch_size + len(group) - 1) // len(group)
                 full = (group * reps)[:batch_size]
                 batch = pad_batch(full, key[0], key[1])
-                # mark repeated fillers empty so loss/metrics ignore them? No:
-                # keep semantics simple — zero their lengths.
                 n_real = len(group)
                 batch["spec_lengths"][n_real:] = 1
                 batch["label_lengths"][n_real:] = 0
+                batch["loss_weight"][n_real:] = 0.0  # fillers: no loss/grad
                 batch["num_real"] = np.int32(n_real)
                 yield batch
 

@@ -42,8 +42,12 @@ class CharTokenizer:
 
     def encode(self, text: str) -> List[int]:
         text = normalize_text(text)
-        # unknown chars -> 0, the reference's default_value (encoding.py:64-65)
-        return [self._to_id.get(c, 0) for c in text]
+        # Out-of-vocabulary characters are DROPPED.  (The reference mapped
+        # them to default_value=0, encoding.py:64-65 — but 0 is the
+        # transducer blank, which must never appear as a label; emitting it
+        # as one corrupts the loss lattice.)
+        ids = (self._to_id.get(c) for c in text)
+        return [i for i in ids if i is not None]
 
     def decode(self, ids: Sequence[int]) -> str:
         return "".join(self.vocab[i] for i in ids if 0 < i < len(self.vocab))
@@ -104,21 +108,32 @@ class SubwordTokenizer:
     # --- persistence (same sidecar contract as encoder.subwords) ---
 
     def save(self, directory: str, filename: str = SUBWORD_FILENAME) -> str:
+        import json
+
         os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory, filename)
+        # one JSON string per line: unambiguous for any piece content
+        # (sequential str.replace unescaping corrupts backslash sequences)
         with open(path, "w") as f:
             for p in self.pieces:
-                f.write(p.replace("\\", "\\\\").replace("\n", "\\n") + "\n")
+                f.write(json.dumps(p, ensure_ascii=False) + "\n")
         return path
 
     @classmethod
     def load(cls, directory: str, filename: str = SUBWORD_FILENAME) -> "SubwordTokenizer":
+        import json
+
         path = os.path.join(directory, filename)
-        pieces = []
         with open(path) as f:
-            for line in f:
-                line = line.rstrip("\n")
-                pieces.append(line.replace("\\n", "\n").replace("\\\\", "\\"))
+            lines = f.read().split("\n")
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        try:
+            pieces = [json.loads(line) for line in lines]
+        except json.JSONDecodeError:
+            # legacy (pre-JSON) escape format
+            pieces = [line.replace("\\n", "\n").replace("\\\\", "\\")
+                      for line in lines]
         return cls(pieces)
 
     @classmethod
@@ -176,11 +191,13 @@ class SubwordTokenizer:
                 merged[tuple(out)] = merged.get(tuple(out), 0) + c
             words = merged
 
-        # Longer/more frequent merges first helps greedy longest-match; order:
-        # blank, merges (by creation = frequency order), then alphabet.
-        pieces = [""] + merges + alphabet
-        return cls(pieces[:target_vocab_size] if len(pieces) > target_vocab_size
-                   else pieces)
+        # Order: blank, merges (by creation = frequency order), then the
+        # single-character alphabet.  Truncation drops MERGES, never the
+        # alphabet — the any-input-is-encodable invariant must survive small
+        # --vocab_size on large alphabets.
+        keep_merges = max(0, target_vocab_size - 1 - len(alphabet))
+        pieces = [""] + merges[:keep_merges] + alphabet
+        return cls(pieces)
 
 
 def get_tokenizer(

@@ -301,7 +301,15 @@ def _bwd(res, ct):
         db1_c = jnp.sum(dpre, axis=(0, 1, 2))
         return df_c, dg_c, db1_c, dw2_c, db2_c
 
-    nc = max(1, B // _BWD_CHUNK) if B % _BWD_CHUNK == 0 else 1
+    # chunk by the largest divisor of B not exceeding _BWD_CHUNK — any B
+    # stays memory-capped (a non-divisible B must NOT silently fall back to
+    # one whole-batch chunk, which re-creates the OOM this path avoids)
+    chunk = 1
+    for c in range(min(B, _BWD_CHUNK), 0, -1):
+        if B % c == 0:
+            chunk = c
+            break
+    nc = B // chunk
     chunked = jax.tree_util.tree_map(
         lambda x: x.reshape((nc, B // nc) + x.shape[1:]),
         (f, g, occ, g_blank, g_emit, denom, labels_pad))

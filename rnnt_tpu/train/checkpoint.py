@@ -49,10 +49,15 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
 
     if backend == "orbax":
         import orbax.checkpoint as ocp
+        import shutil
 
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path) + ".orbax", state)
         ckptr.wait_until_finished()
+        if jax.process_index() == 0:  # prune old orbax checkpoints too
+            for s in _orbax_steps(ckpt_dir)[:-keep]:
+                shutil.rmtree(os.path.join(
+                    ckpt_dir, f"checkpoint_{s:08d}.orbax"), ignore_errors=True)
         return path + ".orbax"
 
     os.makedirs(path, exist_ok=True)
@@ -88,6 +93,16 @@ def list_checkpoint_steps(ckpt_dir: str) -> List[int]:
     return sorted(out)
 
 
+_ORBAX_RE = re.compile(r"^checkpoint_(\d+)\.orbax$")
+
+
+def _orbax_steps(ckpt_dir: str) -> List[int]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(int(m.group(1)) for name in os.listdir(ckpt_dir)
+                  if (m := _ORBAX_RE.match(name)))
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     steps = list_checkpoint_steps(ckpt_dir)
     if not steps:
@@ -100,14 +115,22 @@ def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig,
     """Restore a TrainState (full resume: params + momentum + step).
 
     dtype: parameter dtype for the restored tree (e.g. jnp.bfloat16 to
-    continue bf16 training); default float32."""
+    continue bf16 training); None derives it from cfg.compute_dtype."""
     path = path_or_dir
-    if path.endswith(".orbax") or os.path.isdir(path + ".orbax"):
+    # orbax: an explicit .orbax path, a dir with .orbax suffix available, or
+    # a run dir containing checkpoint_*.orbax entries (resume discovery)
+    opath = None
+    if path.endswith(".orbax"):
+        opath = path
+    elif os.path.isdir(path + ".orbax"):
+        opath = path + ".orbax"
+    elif _orbax_steps(path) and not list_checkpoint_steps(path):
+        step = _orbax_steps(path)[-1]
+        opath = os.path.join(path, f"checkpoint_{step:08d}.orbax")
+    if opath is not None:
         import orbax.checkpoint as ocp
 
-        template = create_train_state(jax.random.PRNGKey(0), cfg,
-                                      dtype or jax.numpy.float32)
-        opath = path if path.endswith(".orbax") else path + ".orbax"
+        template = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
         return ocp.StandardCheckpointer().restore(
             os.path.abspath(opath), template)
     if not os.path.exists(os.path.join(path, "state.npz")):
@@ -116,8 +139,7 @@ def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig,
             raise FileNotFoundError(f"no checkpoint under {path_or_dir}")
         path = latest
     data = np.load(os.path.join(path, "state.npz"))
-    template = create_train_state(jax.random.PRNGKey(0), cfg,
-                                  dtype or jax.numpy.float32)
+    template = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
     leaves, treedef = _flatten(template)
     new_leaves = []
     for i, tmpl in enumerate(leaves):

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from rnnt_tpu.config import RNNTConfig
-from rnnt_tpu.decode.greedy import make_greedy_decoder
 from rnnt_tpu.metrics import accuracy as accuracy_fn
 from rnnt_tpu.metrics import cer as cer_fn
 from rnnt_tpu.metrics import wer as wer_fn
@@ -26,6 +25,35 @@ from rnnt_tpu.train import checkpoint as ckpt_mod
 from rnnt_tpu.train import observe
 from rnnt_tpu.train.state import TrainState
 from rnnt_tpu.train.steps import make_eval_step, make_train_step
+
+
+_DECODER_CACHE: Dict = {}
+
+
+def _get_decoder(cfg: RNNTConfig, kind: str, max_out: int):
+    """Jitted decoder taking (params, mel, spec_lengths); cached per
+    (cfg, kind, max_out) so repeated evals never recompile."""
+    key = (cfg, kind, max_out)
+    if key not in _DECODER_CACHE:
+        model = Transducer(cfg)
+        if kind == "beam":
+            from rnnt_tpu.decode.beam import beam_search_decode
+
+            @jax.jit
+            def fn(params, mel, sl):
+                t, l, _ = beam_search_decode(
+                    model, params, mel, sl, beam_width=cfg.beam_width,
+                    max_output_length=max_out)
+                return t, l
+        else:
+            from rnnt_tpu.decode.greedy import greedy_decode
+
+            @jax.jit
+            def fn(params, mel, sl):
+                return greedy_decode(model, params, mel, sl,
+                                     max_output_length=max_out)
+        _DECODER_CACHE[key] = fn
+    return _DECODER_CACHE[key]
 
 
 def run_evaluate(
@@ -45,7 +73,6 @@ def run_evaluate(
     beam-search WER vs greedy)."""
     eval_step = eval_step or make_eval_step(cfg)
     model = Transducer(cfg)
-    decoder = None
 
     losses, n = [], 0
     refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
@@ -56,22 +83,13 @@ def run_evaluate(
                                      if k != "num_real"})
         losses.extend(np.asarray(m["nll"])[:num_real].tolist())
         if decode_metrics:
-            if decoder is None:
-                max_out = int(batch["labels"].shape[1] * 2 + 8)
-                if decode == "beam":
-                    from rnnt_tpu.decode.beam import beam_search_decode
-
-                    @jax.jit
-                    def decoder(mel, sl, _p=state.params):
-                        t, l, _ = beam_search_decode(
-                            model, _p, mel, sl,
-                            beam_width=cfg.beam_width,
-                            max_output_length=max_out)
-                        return t, l
-                else:
-                    decoder = make_greedy_decoder(
-                        model, state.params, max_output_length=max_out)
-            tokens, lengths = decoder(batch["mel_specs"], batch["spec_lengths"])
+            # decoder per padded label width (buckets are a closed set), with
+            # params as an ARGUMENT — the jit cache persists across periodic
+            # evals instead of recompiling on every fresh closure.
+            max_out = int(batch["labels"].shape[1] * 2 + 8)
+            decoder = _get_decoder(cfg, decode, max_out)
+            tokens, lengths = decoder(
+                state.params, batch["mel_specs"], batch["spec_lengths"])
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             labels = np.asarray(batch["labels"])
             lab_lens = np.asarray(batch["label_lengths"])
@@ -124,6 +142,10 @@ def run_training(
         writer.hparams(cfg)
 
     def maybe_checkpoint(state):
+        # multi-host: only process 0 writes checkpoints/metrics — concurrent
+        # writers on shared storage corrupt state.npz / metrics.jsonl
+        if jax.process_index() != 0:
+            return
         if eval_batches_fn is not None:
             t0 = time.time()
             metrics = run_evaluate(
@@ -153,7 +175,7 @@ def run_training(
                 state, m = train_step(state, batch, sub)
                 step = int(np.asarray(state.step))
                 step_times.append(time.time() - t0)
-                if step % steps_per_log == 0:
+                if step % steps_per_log == 0 and jax.process_index() == 0:
                     writer.scalars(step, {
                         "train_loss": float(m["loss"]),
                         "grad_norm": float(m["grad_norm"]),

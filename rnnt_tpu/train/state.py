@@ -32,7 +32,10 @@ def make_optimizer(cfg: RNNTConfig) -> optax.GradientTransformation:
     return optax.chain(*tx)
 
 
-def create_train_state(key, cfg: RNNTConfig, dtype=jnp.float32) -> TrainState:
+def create_train_state(key, cfg: RNNTConfig, dtype=None) -> TrainState:
+    """dtype=None derives the parameter dtype from cfg.compute_dtype."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     params = init_transducer_params(key, cfg, dtype)
     tx = make_optimizer(cfg)
     opt_state = tx.init(_trainable(params))

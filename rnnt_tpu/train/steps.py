@@ -69,8 +69,14 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
             rng=rng)
         nll = rnnt_loss(logits, batch["labels"], enc_lengths,
                         batch["label_lengths"], impl=loss_impl)
-    # sum/batch_size normalization (run_rnnt.py:278)
-    return jnp.mean(nll), (nll, bn_stats)
+    # sum/batch_size normalization (run_rnnt.py:278); `loss_weight` zeroes
+    # out repeat-padding filler rows from partial bucket batches.
+    if "loss_weight" in batch:
+        w = batch["loss_weight"].astype(nll.dtype)
+        loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        loss = jnp.mean(nll)
+    return loss, (nll, bn_stats)
 
 
 def make_train_step(cfg: RNNTConfig, *, loss_impl: str = "auto", donate: bool = True):

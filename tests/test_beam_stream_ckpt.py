@@ -172,7 +172,8 @@ def test_quantized_decode_matches_fp_on_overfit_model():
 def test_checkpoint_orbax_backend(tmp_path):
     state, batch, labels, _ = _overfit_state(steps=2, tol=-1)
     path = ckpt_mod.save_checkpoint(str(tmp_path), state, CFG, backend="orbax")
-    restored = ckpt_mod.restore_checkpoint(path, CFG)
-    for a, b in zip(jax.tree_util.tree_leaves(state),
-                    jax.tree_util.tree_leaves(restored)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for src in (path, str(tmp_path)):  # explicit path AND run-dir discovery
+        restored = ckpt_mod.restore_checkpoint(src, CFG)
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

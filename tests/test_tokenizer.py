@@ -85,3 +85,32 @@ def test_accuracy_and_wer():
     assert wer(refs, refs) == 0.0
     assert wer(refs, hyps) == 0.25  # 0 + 1/2 errors -> mean .25
     assert cer(["abc"], ["abd"]) == 1 / 3
+
+
+def test_char_tokenizer_drops_oov():
+    """OOV chars must be dropped, never mapped to blank id 0 (the reference's
+    default_value=0 would corrupt the loss lattice)."""
+    tok = CharTokenizer()
+    ids = tok.encode("a1b,c!")
+    assert 0 not in ids
+    assert tok.decode(ids) == "abc"
+
+
+def test_subword_escaping_roundtrip(tmp_path):
+    """Pieces containing backslashes/newlines must survive save/load exactly."""
+    pieces = ["", "a\\n", "b\\", "c\nd", "▁normal"]
+    tok = SubwordTokenizer(pieces)
+    tok.save(str(tmp_path))
+    tok2 = SubwordTokenizer.load(str(tmp_path))
+    assert tok2.pieces == pieces
+
+
+def test_subword_truncation_keeps_alphabet():
+    """vocab_size smaller than merges+alphabet drops merges, not the
+    single-character fallback (any input stays encodable)."""
+    tok = SubwordTokenizer.build_from_corpus(CORPUS, target_vocab_size=20)
+    alphabet = sorted({c for line in CORPUS for c in
+                       normalize_text(line).replace(" ", "")}) 
+    for ch in alphabet:
+        assert ch in tok.pieces, f"alphabet char {ch!r} was truncated"
+    assert tok.decode(tok.encode("zebra qux")) == "zebra qux".replace("z","z")

@@ -51,3 +51,36 @@ def test_eval_step_runs():
     m = eval_fn(state.params, batch)
     assert np.isfinite(float(m["loss"]))
     assert m["nll"].shape == (4,)
+
+
+def test_loss_weight_masks_fillers():
+    """Filler rows (loss_weight 0) contribute neither loss nor gradient."""
+    from rnnt_tpu.train.steps import batch_loss
+    import jax
+
+    real = synth_batch(jax.random.PRNGKey(7), B=4)
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+
+    # batch of 4 where rows 2,3 are garbage fillers with weight 0
+    padded = {k: np.asarray(v).copy() for k, v in real.items()}
+    padded["mel_specs"][2:] = 999.0
+    padded["spec_lengths"][2:] = 1
+    padded["label_lengths"][2:] = 0
+    padded["loss_weight"] = np.array([1, 1, 0, 0], np.float32)
+    padded = {k: jnp.asarray(v) for k, v in padded.items()}
+
+    only_real = {k: jnp.asarray(np.asarray(v)[:2]) for k, v in real.items()}
+
+    loss_pad, _ = batch_loss(state.params, CFG, padded, training=False)
+    loss_real, _ = batch_loss(state.params, CFG, only_real, training=False)
+    np.testing.assert_allclose(float(loss_pad), float(loss_real),
+                               rtol=1e-5, atol=1e-5)
+
+    g_pad = jax.grad(lambda p: batch_loss(p, CFG, padded, training=False)[0])(
+        state.params)
+    g_real = jax.grad(lambda p: batch_loss(p, CFG, only_real,
+                                           training=False)[0])(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pad),
+                    jax.tree_util.tree_leaves(g_real)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
