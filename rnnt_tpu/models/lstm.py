@@ -94,6 +94,7 @@ def lstm_layer(
     state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     *,
     unroll: int = 8,
+    inference: bool = False,
 ):
     """Run a projected-LSTM over [B, T, F] -> ([B, T, P], final_state).
 
@@ -112,6 +113,11 @@ def lstm_layer(
         state = lstm_zero_state(B, H, P, x.dtype)
 
     if _pallas_eligible(params, B, T):
+        if inference:
+            # no BPTT residual emission (decode/eval path; not differentiable)
+            from rnnt_tpu.ops.lstm_pallas import lstm_seq_infer
+
+            return lstm_seq_infer(params, x, state)
         from rnnt_tpu.ops.lstm_pallas import lstm_seq
 
         return lstm_seq(params, x, state)

@@ -112,6 +112,85 @@ def _fwd_call(xp, wh, wp, bias, h0, c0, *, Bt, dtype):
     )(xp, wh, wp, bias[None, :], h0, c0)
 
 
+# ------------------------------------------------- inference-only forward
+
+def _fwd_infer_kernel(xp_ref, wh_ref, wp_ref, bias_ref, h0_ref, c0_ref,
+                      hseq_ref, hfin_ref, cfin_ref,
+                      h_scr, c_scr, *, H, nT):
+    """Forward without (z, c) residual emission — decode/eval path (skips
+    ~4 GB of HBM writes per parity-scale batch that only BPTT needs)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = h0_ref[...].astype(jnp.float32)
+        c_scr[...] = c0_ref[...]
+
+    z = (xp_ref[0].astype(jnp.float32)
+         + bias_ref[...].astype(jnp.float32)
+         + jnp.dot(h_scr[...].astype(wh_ref.dtype), wh_ref[...],
+                   preferred_element_type=jnp.float32))
+    i = jax.nn.sigmoid(z[:, 0:H])
+    g = jnp.tanh(z[:, H:2 * H])
+    f = jax.nn.sigmoid(z[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H:4 * H])
+    c = f * c_scr[...] + i * g
+    hid = o * jnp.tanh(c)
+    h = jnp.dot(hid.astype(wp_ref.dtype), wp_ref[...],
+                preferred_element_type=jnp.float32)
+
+    h_scr[...] = h
+    c_scr[...] = c
+    hseq_ref[0] = h.astype(hseq_ref.dtype)
+
+    @pl.when(t == nT - 1)
+    def _():
+        hfin_ref[...] = h.astype(hfin_ref.dtype)
+        cfin_ref[...] = c
+
+
+def lstm_seq_infer(params, x, state):
+    """Inference twin of lstm_seq: same math, no residuals, NOT differentiable."""
+    B, T, F = x.shape
+    H4 = params["wh"].shape[1]
+    H = H4 // 4
+    P = params["wp"].shape[1]
+    dtype = params["wh"].dtype
+    Bt = _pick_bt(B)
+    c0, h0 = state
+    xp = jnp.dot(x.reshape(B * T, F), params["wx"],
+                 preferred_element_type=jnp.float32)
+    xp = jnp.moveaxis(xp.reshape(B, T, H4).astype(dtype), 1, 0)
+
+    kernel = functools.partial(_fwd_infer_kernel, H=H, nT=T)
+    seq = lambda d: pl.BlockSpec(  # noqa: E731
+        (1, Bt, d), lambda ib, t: (t, ib, 0), memory_space=pltpu.VMEM)
+    vec = lambda d: pl.BlockSpec(  # noqa: E731
+        (Bt, d), lambda ib, t: (ib, 0), memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec(  # noqa: E731
+        (a, b), lambda ib, t: (0, 0), memory_space=pltpu.VMEM)
+
+    h_seq, h_fin, c_fin = pl.pallas_call(
+        kernel,
+        grid=(B // Bt, T),
+        in_specs=[seq(H4), full(P, H4), full(H, P), full(1, H4),
+                  vec(P), vec(H)],
+        out_specs=[seq(P), vec(P), vec(H)],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, P), dtype),
+            jax.ShapeDtypeStruct((B, P), dtype),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bt, P), jnp.float32),
+            pltpu.VMEM((Bt, H), jnp.float32),
+        ],
+        interpret=_interpret_default(),
+    )(xp, params["wh"], params["wp"], params["bias"][None, :],
+      h0.astype(dtype), c0.astype(jnp.float32))
+    return jnp.moveaxis(h_seq, 0, 1), (c_fin, h_fin.astype(h0.dtype))
+
+
 # --------------------------------------------------------------- backward
 
 def _bwd_kernel(zseq_ref, cseq_ref, cprev_ref, c0_ref, dhout_ref,

@@ -79,3 +79,17 @@ def test_gradient_through_final_h():
                     jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_infer_matches_train_forward():
+    from rnnt_tpu.ops.lstm_pallas import lstm_seq_infer
+
+    params, x, state = _setup(11)
+    out_train, (c1, h1) = lstm_seq(params, x, state)
+    out_infer, (c2, h2) = lstm_seq_infer(params, x, state)
+    np.testing.assert_allclose(np.asarray(out_infer), np.asarray(out_train),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               rtol=1e-6, atol=1e-6)
