@@ -161,7 +161,12 @@ def run_training(
 
     takes_epoch = len(inspect.signature(train_batches_fn).parameters) >= 1
 
-    step_times = []
+    # host-side step mirror: fetching state.step every iteration would force
+    # a device->host sync per step and stall the dispatch pipeline; steps run
+    # async and only the float(loss) at each log boundary synchronizes, so
+    # step time = log-interval wall time / steps in the interval
+    step = int(np.asarray(state.step))
+    t_last, steps_last = time.time(), step
     try:
         for epoch in range(n_epochs):
             epoch_batches = (train_batches_fn(epoch) if takes_epoch
@@ -171,21 +176,23 @@ def run_training(
                 if shard_batch is not None:
                     batch = shard_batch(batch)
                 rng, sub = jax.random.split(rng)
-                t0 = time.time()
                 state, m = train_step(state, batch, sub)
-                step = int(np.asarray(state.step))
-                step_times.append(time.time() - t0)
+                step += 1
                 if step % steps_per_log == 0 and jax.process_index() == 0:
+                    loss = float(m["loss"])  # device sync point
+                    now = time.time()
+                    sec_per_step = (now - t_last) / max(step - steps_last, 1)
+                    t_last, steps_last = now, step
                     writer.scalars(step, {
-                        "train_loss": float(m["loss"]),
+                        "train_loss": loss,
                         "grad_norm": float(m["grad_norm"]),
-                        "step_seconds": float(np.mean(step_times[-steps_per_log:])),
+                        "step_seconds": sec_per_step,
                     })
                     print(f"epoch {epoch} step {step}: "
-                          f"loss={float(m['loss']):.4f} "
-                          f"({np.mean(step_times[-steps_per_log:]):.3f}s/step)")
+                          f"loss={loss:.4f} ({sec_per_step:.3f}s/step)")
                 if step % steps_per_checkpoint == 0:
                     maybe_checkpoint(state)
+                    t_last, steps_last = time.time(), step  # exclude eval time
         maybe_checkpoint(state)  # final (run_rnnt.py:377)
     finally:
         if own_writer:

@@ -18,6 +18,10 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 
 import jax
 
+# The axon sitecustomize imports jax before this conftest runs, so the env
+# var alone is too late — force the platform through the live config too
+# (otherwise every test silently runs serially over the TPU tunnel).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # The XLA CPU backend's default matmul precision is bf16-like (~0.2% rel
 # error); force full fp32 so numerical parity tests are meaningful.

@@ -44,9 +44,13 @@ def _overfit_state(steps=200, tol=0.05):
     key = jax.random.PRNGKey(2)
     for _ in range(steps):
         key, sub = jax.random.split(key)
-        state, m = step_fn(state, batch, sub)
+        # m["loss"] is evaluated at `state`'s params (pre-update); return the
+        # params that achieved the low loss — one more momentum-heavy SGD
+        # update at lr=0.3 can overshoot and wreck the overfit.
+        new_state, m = step_fn(state, batch, sub)
         if float(m["loss"]) < tol:
             break
+        state = new_state
     return state, batch, labels, float(m["loss"])
 
 
