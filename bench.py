@@ -40,7 +40,9 @@ def main():
     audio_seconds_per_batch = B * T * seconds_per_frame
 
     state = create_train_state(jax.random.PRNGKey(0), cfg)  # bf16 via cfg
-    step_fn = make_train_step(cfg, loss_impl="fused", donate=False)
+    # donate: update state buffers in place (~0.7 GB of param+momentum copies
+    # otherwise re-allocated every step)
+    step_fn = make_train_step(cfg, loss_impl="fused", donate=True)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -59,13 +61,15 @@ def main():
     state, m = step_fn(state, batch, key)
     assert np.isfinite(float(m["loss"]))
 
-    # NOTE: materialize the loss on host every step — on this remote-attached
-    # chip, block_until_ready alone does not await remote execution.
+    # Steps are chained through the donated state, so fetching only the FINAL
+    # loss awaits the whole sequence (block_until_ready alone does not await
+    # remote execution on this tunnel-attached chip); per-step host fetches
+    # would serialize dispatch (~14% throughput).
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step_fn(state, batch, key)
-        loss = float(m["loss"])
+    loss = float(m["loss"])
     dt = time.perf_counter() - t0
     assert np.isfinite(loss)
 
