@@ -78,18 +78,35 @@ def stft_magnitude(audio: jnp.ndarray, frame_length: int, frame_step: int,
     return jnp.abs(spec).astype(jnp.float32)
 
 
+def _pallas_frontend_eligible() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def log_mel_spectrogram(audio: jnp.ndarray, cfg: RNNTConfig) -> jnp.ndarray:
     """Audio [N] float32 in [-1,1] -> log-mel [num_frames, mel_bins],
-    per-feature mean-subtracted (preprocessing.py:48-81)."""
-    frame_length = cfg.frame_length_samples
-    frame_step = cfg.frame_step_samples
-    fft_length = _next_pow2(frame_length)
-    mag = stft_magnitude(audio, frame_length, frame_step, fft_length)
-    mel_mat = jnp.asarray(mel_weight_matrix(
-        cfg.mel_bins, fft_length // 2 + 1, cfg.sample_rate,
-        cfg.hertz_low, cfg.hertz_high))
-    mel = jnp.dot(mag, mel_mat, preferred_element_type=jnp.float32)
-    log_mel = jnp.log(mel + 1e-6)
+    per-feature mean-subtracted (preprocessing.py:48-81).
+
+    On TPU this dispatches to the fused Pallas frontend (framing + windowed
+    matmul-DFT + mel + log in one kernel, ops/features_pallas.py); the XLA
+    rfft path below is the semantics anchor and the CPU/debug path.
+    """
+    if _pallas_frontend_eligible():
+        from rnnt_tpu.ops.features_pallas import log_mel_frontend
+
+        log_mel = log_mel_frontend(audio, cfg)
+    else:
+        frame_length = cfg.frame_length_samples
+        frame_step = cfg.frame_step_samples
+        fft_length = _next_pow2(frame_length)
+        mag = stft_magnitude(audio, frame_length, frame_step, fft_length)
+        mel_mat = jnp.asarray(mel_weight_matrix(
+            cfg.mel_bins, fft_length // 2 + 1, cfg.sample_rate,
+            cfg.hertz_low, cfg.hertz_high))
+        mel = jnp.dot(mag, mel_mat, preferred_element_type=jnp.float32)
+        log_mel = jnp.log(mel + 1e-6)
     return log_mel - (jnp.mean(log_mel, axis=0) + 1e-8)
 
 
