@@ -73,6 +73,46 @@ def test_sharded_train_step_matches_single_device(data, model, impl):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+def test_sharded_decode_matches_single_device(data, model):
+    """Beam/greedy decode under a mesh: per-utterance beam state shards on
+    the data axis (BASELINE.json config #3) and must be bit-identical to the
+    single-device decode."""
+    from rnnt_tpu.decode.beam import beam_search_decode
+    from rnnt_tpu.decode.greedy import greedy_decode
+    from rnnt_tpu.models.transducer import Transducer, init_transducer_params
+
+    m = Transducer(CFG)
+    params = init_transducer_params(jax.random.PRNGKey(3), CFG)
+    batch = _batch()
+    mel, sl = batch["mel_specs"], batch["spec_lengths"]
+
+    gt, gl = greedy_decode(m, params, mel, sl, max_output_length=6)
+    bt, bl, bs = beam_search_decode(m, params, mel, sl, beam_width=3,
+                                    max_output_length=6)
+
+    mesh = make_mesh(data=data, model=model)
+    psh = param_sharding_rules(mesh, params)
+    sp = jax.tree_util.tree_map(jax.device_put, params, psh)
+    bsh = batch_sharding(mesh)
+    mel_s, sl_s = jax.device_put(mel, bsh), jax.device_put(sl, bsh)
+    with jax.sharding.set_mesh(mesh):
+        gt2, gl2 = jax.jit(
+            lambda p, x, l: greedy_decode(m, p, x, l, max_output_length=6)
+        )(sp, mel_s, sl_s)
+        bt2, bl2, bs2 = jax.jit(
+            lambda p, x, l: beam_search_decode(
+                m, p, x, l, beam_width=3, max_output_length=6)
+        )(sp, mel_s, sl_s)
+
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(gt2))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(gl2))
+    np.testing.assert_array_equal(np.asarray(bt), np.asarray(bt2))
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(bl2))
+    np.testing.assert_allclose(np.asarray(bs), np.asarray(bs2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_param_sharding_rules_cover_model_axis():
     mesh = make_mesh(data=4, model=2)
     state = create_train_state(jax.random.PRNGKey(0), CFG)
