@@ -102,12 +102,13 @@ def _interpret_default() -> bool:
         return True
 
 
-def _auto_vt(C: int, J: int, V: int, budget_bytes: int = 12 * 2**20) -> int:
+def _auto_vt(C: int, J: int, V: int, budget_bytes: int = 15 * 2**20 + 2**19) -> int:
     """Largest v-tile fitting VMEM: logits C*Vt fp32 + W2 J*Vt bf16 + h C*J
     fp32 (+ block buffers).  Measured on v5e at C=512: Vt 512 -> 77 TFLOP/s,
-    2048 -> 98, 4096 -> 106 standalone — but 4096 exceeds VMEM when the
-    kernel is embedded in the full train-step program, so the budget is set
-    to land on 2048 there."""
+    2048 -> 98, 4096 -> 106 standalone.  With the donated train state the
+    full embedded step also compiles at Vt=4096 and is ~2% faster than 2048
+    (194 vs 198 ms at B=96), so the budget lands on 4096; larger cell tiles
+    (C=1024) exceed VMEM at any Vt."""
     budget = budget_bytes - C * J * 4
     per_vt = C * 4 + J * 2
     vt = min(V, max(512, (budget // per_vt) // 512 * 512))
