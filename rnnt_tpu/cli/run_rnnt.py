@@ -40,9 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--model_parallel", type=int, default=1,
                    help="model-axis size of the device mesh")
     p.add_argument("--loss_impl", default="fused",
-                   choices=["fused", "auto", "ref", "pallas"],
-                   help="fused = joint+loss Pallas kernel (fastest, "
-                        "memory-capped); ref/pallas materialize the lattice")
+                   choices=["fused", "banded", "auto", "ref", "pallas"],
+                   help="fused = joint+loss Pallas kernel (exact, memory-"
+                        "capped); banded = pruned label window around the "
+                        "alignment diagonal (~1.5x faster, lower-bound "
+                        "objective, width = config loss_band); ref/pallas "
+                        "materialize the lattice")
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
                    help="eval-time decoder (beam: BASELINE config #3)")
     p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ",

@@ -57,6 +57,12 @@ class RNNTConfig:
     # no loss scaling needed — lattice math stays fp32 inside the loss).
     compute_dtype: str = "float32"          # "float32" | "bfloat16"
 
+    # Banded (pruned) loss: label-window width for loss_impl="banded"
+    # (ops/joint_loss_banded.py) — a lower-bound objective computing the
+    # joint V-reduction only near the expected alignment diagonal; 32 keeps
+    # the bound tight at parity scale while cutting loss compute ~(U+1)/band
+    loss_band: int = 32
+
     # Decoding
     max_symbols_per_frame: int = 30         # bound for jit-able greedy decode
     beam_width: int = 4

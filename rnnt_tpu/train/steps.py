@@ -49,9 +49,8 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
             cfg.input_noise_stddev
             * jax.random.normal(nkey, batch["mel_specs"].shape,
                                 batch["mel_specs"].dtype))
-    if loss_impl == "fused":
+    if loss_impl in ("fused", "banded"):
         from rnnt_tpu.models import prediction as pred_mod
-        from rnnt_tpu.ops.joint_loss_fused import transducer_loss_fused
 
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         encoded, _, bn_stats = enc_mod.encode(
@@ -60,9 +59,18 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
         pred_out, _ = pred_mod.predict(
             params["prediction"], cfg, batch["pred_inp"], training=training,
             rng=rngs[1])
-        nll = transducer_loss_fused(
-            params["joint"], encoded, pred_out, batch["labels"],
-            enc_lengths, batch["label_lengths"])
+        if loss_impl == "banded":
+            from rnnt_tpu.ops.joint_loss_banded import transducer_loss_banded
+
+            nll = transducer_loss_banded(
+                params["joint"], encoded, pred_out, batch["labels"],
+                enc_lengths, batch["label_lengths"], band=cfg.loss_band)
+        else:
+            from rnnt_tpu.ops.joint_loss_fused import transducer_loss_fused
+
+            nll = transducer_loss_fused(
+                params["joint"], encoded, pred_out, batch["labels"],
+                enc_lengths, batch["label_lengths"])
     else:
         logits, bn_stats = model.apply(
             params, batch["mel_specs"], batch["pred_inp"], training=training,
