@@ -38,7 +38,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("data,model,impl", [
-    (8, 1, "ref"), (4, 2, "ref"), (8, 1, "fused")])
+    (8, 1, "ref"), (4, 2, "ref"), (8, 1, "fused"), (8, 1, "banded")])
 def test_sharded_train_step_matches_single_device(data, model, impl):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     step_fn = make_train_step(CFG, loss_impl=impl, donate=False)
