@@ -24,7 +24,10 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", default="./model",
                    help="checkpoints + logs (run_rnnt.py:38-40)")
     p.add_argument("--checkpoint", default=None,
-                   help="resume/eval from this checkpoint dir (run_rnnt.py:41-43)")
+                   help="resume/eval from this checkpoint dir "
+                        "(run_rnnt.py:41-43); 'auto' resumes from the latest "
+                        "checkpoint in --output_dir if one exists (restart-"
+                        "after-preemption without changing the command line)")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--n_epochs", type=int, default=1000)
     p.add_argument("--steps_per_log", type=int, default=10)
@@ -102,6 +105,12 @@ def main(argv=None):
     from rnnt_tpu.train import checkpoint as ckpt_mod
     from rnnt_tpu.train.loop import run_evaluate, run_training
     from rnnt_tpu.train.state import create_train_state
+
+    if args.checkpoint == "auto":
+        # resume-in-place: same command line before and after a preemption
+        has_ckpt = (ckpt_mod.list_checkpoint_steps(args.output_dir)
+                    or ckpt_mod._orbax_steps(args.output_dir))
+        args.checkpoint = args.output_dir if has_ckpt else None
 
     cfg = _load_config(args)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -69,7 +69,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
             # numpy can't serialize bfloat16 — store as fp32 (lossless up-cast)
             a = np.asarray(jax.numpy.asarray(x, jax.numpy.float32))
         arrs[f"leaf_{i}"] = a
-    np.savez(os.path.join(path, "state.npz"), **arrs)
+    # atomic publish: a preemption mid-write must never leave a truncated
+    # state.npz that list_checkpoint_steps would treat as a valid checkpoint
+    tmp = os.path.join(path, ".state.npz.tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "state.npz"))
 
     # prune
     steps = sorted(list_checkpoint_steps(ckpt_dir))

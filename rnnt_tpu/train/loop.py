@@ -9,6 +9,8 @@ quirk 3) and never loss-scaled (fixing quirk 4).
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Callable, Dict, Iterable, Optional
 
@@ -161,6 +163,22 @@ def run_training(
 
     takes_epoch = len(inspect.signature(train_batches_fn).parameters) >= 1
 
+    # Preemption safety (the failure-recovery story the reference lacked,
+    # SURVEY.md §5): SIGTERM — what a TPU VM gets on maintenance/preemption —
+    # requests a checkpoint at the NEXT step boundary, then a clean return.
+    # The handler only sets a flag; no jax work happens in signal context.
+    preempted = threading.Event()
+    prev_handler = None
+
+    def _on_sigterm(signum, frame):
+        preempted.set()
+        print("SIGTERM: will checkpoint at the next step boundary and exit")
+
+    try:  # signal.signal is main-thread-only; tests may run loops elsewhere
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        prev_handler = None
+
     # host-side step mirror: fetching state.step every iteration would force
     # a device->host sync per step and stall the dispatch pipeline; steps run
     # async and only the float(loss) at each log boundary synchronizes, so
@@ -190,11 +208,19 @@ def run_training(
                     })
                     print(f"epoch {epoch} step {step}: "
                           f"loss={loss:.4f} ({sec_per_step:.3f}s/step)")
+                if preempted.is_set():
+                    # fast save (no eval — the grace window is short)
+                    if jax.process_index() == 0:
+                        path = ckpt_mod.save_checkpoint(output_dir, state, cfg)
+                        print(f"preemption checkpoint written: {path}")
+                    return state
                 if step % steps_per_checkpoint == 0:
                     maybe_checkpoint(state)
                     t_last, steps_last = time.time(), step  # exclude eval time
         maybe_checkpoint(state)  # final (run_rnnt.py:377)
     finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         if own_writer:
             writer.close()
     return state

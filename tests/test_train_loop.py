@@ -60,6 +60,60 @@ def test_run_training_checkpoints_and_logs(tmp_path):
     assert int(np.asarray(restored.step)) == 6
 
 
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """Preemption safety: SIGTERM mid-epoch → checkpoint at the next step
+    boundary, clean return (the recovery story the reference lacked)."""
+    import signal
+
+    out_dir = str(tmp_path / "run")
+    batches = _batches(n=6)
+
+    def gen():
+        for i, b in enumerate(batches):
+            if i == 2:  # preemption arrives while step 2 is in flight
+                signal.raise_signal(signal.SIGTERM)
+            yield b
+
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    state = run_training(
+        CFG, state, lambda: gen(),
+        output_dir=out_dir,
+        n_epochs=1,
+        steps_per_log=100,
+        steps_per_checkpoint=100,  # never reached normally
+        loss_impl="ref",
+    )
+    stopped_at = int(np.asarray(state.step))
+    assert stopped_at < 6  # exited early
+    steps = ckpt_mod.list_checkpoint_steps(out_dir)
+    assert steps and steps[-1] == stopped_at  # preemption checkpoint written
+    # handler restored: SIGTERM no longer intercepted by the loop
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler) or callable(
+        signal.getsignal(signal.SIGTERM))
+    # and no tmp file left behind by the atomic publish
+    ckpt_path = os.path.join(out_dir, f"checkpoint_{stopped_at:08d}")
+    assert not os.path.exists(os.path.join(ckpt_path, ".state.npz.tmp"))
+    restored = ckpt_mod.restore_checkpoint(out_dir, CFG)
+    assert int(np.asarray(restored.step)) == stopped_at
+
+
+def test_corrupt_checkpoint_not_listed(tmp_path):
+    """A truncated state.npz (crash mid-write before the atomic rename) is
+    never visible; only fully-published checkpoints are discoverable."""
+    out = str(tmp_path / "ck")
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    ckpt_mod.save_checkpoint(out, state, CFG)
+    # simulate a crash mid-write of a NEWER checkpoint: dir exists, tmp only
+    newer = os.path.join(out, "checkpoint_00009999")
+    os.makedirs(newer)
+    with open(os.path.join(newer, ".state.npz.tmp"), "wb") as f:
+        f.write(b"truncated")
+    assert ckpt_mod.list_checkpoint_steps(out) == [0]
+    restored = ckpt_mod.restore_checkpoint(out, CFG)
+    assert int(np.asarray(restored.step)) == 0
+
+
 def test_run_evaluate_metrics(tmp_path):
     batches = _batches(n=2)
     state = create_train_state(jax.random.PRNGKey(0), CFG)
