@@ -5,16 +5,17 @@ driver north-star config (BASELINE.json config #3).  Algorithm: breadth-first
 transducer beam search with a per-frame expansion cap (the torchaudio-style
 "modified" search).  Per encoder frame:
 
-  settled  <- empty pool (K slots, scores -inf)
   expanding <- current beam (K hyps)
   repeat `expansions_per_frame` times:
       logp = joint(enc_t, expanding)
-      blank moves  : expanding hyps + blank_lp  -> merged into `settled`
-                     (top-K of settled ∪ blanked, full state gathered)
+      blank moves  : expanding hyps + blank_lp -> appended to the candidate
+                     pool (they settle at this expansion depth)
       label moves  : top-K over K x Vk label expansions -> new `expanding`
                      (tokens appended, pred-net state advanced)
   force-settle the remaining expanding hyps with one blank move;
-  new beam = `settled`.
+  new beam = top-K over the (expansions+1) x K pooled blank-settled
+  candidates (one merge per frame — equivalent to merging every expansion,
+  since settled scores never change).
 
 Hypotheses that reach the same prefix along different alignments are kept as
 duplicates rather than logaddexp-merged (standard practical simplification;
@@ -78,6 +79,7 @@ def beam_search_encoded(
     max_output_length: int = 200,
     expansions_per_frame: int = 3,
     prune_vocab: int = 16,
+    frame_unroll: int = 4,
 ):
     """Returns (best tokens [B, L], best lengths [B], beam scores [B, K])."""
     cfg = model.cfg
@@ -114,23 +116,27 @@ def beam_search_encoded(
         return jax.nn.log_softmax(logits, -1).reshape(B, K, -1)
 
     def frame_body(t, beam: Beam) -> Beam:
+        # The expansion loop is PYTHON-unrolled (expansions_per_frame is
+        # static) and the settled-pool merge deferred to ONE top-k over all
+        # (epf+1)*K blank-settled candidates at frame end — identical result
+        # (blanked scores never change once settled, so iterated top-k ==
+        # one top-k of the union), but it keeps the device while-loop carry
+        # to the Beam leaves only.  A nested lax.scan carrying
+        # (expanding, settled) cost ~20us per carry leaf per iteration on
+        # the device loop — 3x the actual pred-net+joint compute.
         enc_t = encoded[:, t, :]
         frame_valid = (t < enc_lengths)  # [B]
 
-        settled = Beam(
-            scores=jnp.full((B, K), NEG),
-            tokens=beam.tokens, lengths=beam.lengths,
-            pred_out=beam.pred_out, pred_state=beam.pred_state)
         expanding = beam
-
-        def expand_once(carry, _):
-            expanding, settled = carry
+        candidates = []  # blank-settled candidate pools, each [B, K, ...]
+        for e in range(expansions_per_frame + 1):
             logp = blank_lp_of(expanding, enc_t)          # [B, K, V]
 
-            # blank moves -> settled pool
-            blanked = expanding._replace(
-                scores=expanding.scores + logp[..., 0])
-            settled = _top_k_beam(_concat(settled, blanked), K)
+            # blank moves -> candidate pool (settled at this expansion depth)
+            candidates.append(expanding._replace(
+                scores=expanding.scores + logp[..., 0]))
+            if e == expansions_per_frame:
+                break
 
             # label moves -> next expanding set
             lab_lp, lab_ids = jax.lax.top_k(logp[..., 1:], Vk)  # [B, K, Vk]
@@ -155,16 +161,11 @@ def beam_search_encoded(
                 params, src_lab.reshape(B * K), flat(parent.pred_state))
             expanding = Beam(top_scores, tokens, lengths,
                              adv_out.reshape(B, K, P), unflat(adv_state))
-            return (expanding, settled), None
 
-        (expanding, settled), _ = jax.lax.scan(
-            expand_once, (expanding, settled), None,
-            length=expansions_per_frame)
-
-        # force-settle whatever is still expanding
-        logp = blank_lp_of(expanding, enc_t)
-        blanked = expanding._replace(scores=expanding.scores + logp[..., 0])
-        new_beam = _top_k_beam(_concat(settled, blanked), K)
+        pool = candidates[0]
+        for c in candidates[1:]:
+            pool = _concat(pool, c)
+        new_beam = _top_k_beam(pool, K)
 
         # frames beyond this utterance's length: keep the old beam
         def keep_old(new, old):
@@ -172,7 +173,7 @@ def beam_search_encoded(
                 frame_valid.reshape((B,) + (1,) * (new.ndim - 1)), new, old)
         return jax.tree_util.tree_map(keep_old, new_beam, beam)
 
-    beam = jax.lax.fori_loop(0, T, frame_body, beam)
+    beam = jax.lax.fori_loop(0, T, frame_body, beam, unroll=frame_unroll)
     # scores sorted desc by the final top_k: slot 0 is the best hypothesis
     return beam.tokens[:, 0, :], beam.lengths[:, 0], beam.scores
 
@@ -185,15 +186,34 @@ def beam_search_decode(
     *,
     beam_width: int = 4,
     max_output_length: int = 200,
-    expansions_per_frame: int = 3,
+    expansions_per_frame: Optional[int] = None,
+    impl: str = "auto",
 ):
-    """Featurized audio -> best token sequence via beam search."""
+    """Featurized audio -> best token sequence via beam search.
+
+    impl: "xla" (this module, expansions_per_frame defaults to 3),
+    "pallas" (ops.beam_pallas — the whole search as one on-chip kernel,
+    single-expansion "modified" semantics; measured 54 ms vs 187 ms for
+    the XLA loop at beam-4/B=64/T'=128 parity config on v5e), or "auto"
+    (pallas on TPU unless expansions_per_frame > 1 was requested
+    explicitly, xla elsewhere)."""
     B, T, _ = mel_specs.shape
     if spec_lengths is None:
         spec_lengths = jnp.full((B,), T, jnp.int32)
     encoded, _ = model.encode(params, mel_specs)
     enc_lengths = model.encoded_length(spec_lengths)
+
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (
+            on_tpu and expansions_per_frame in (None, 1)) else "xla"
+    if impl == "pallas":
+        from rnnt_tpu.ops.beam_pallas import beam_search_encoded_pallas
+
+        return beam_search_encoded_pallas(
+            model, params, encoded, enc_lengths, beam_width=beam_width,
+            max_output_length=max_output_length)
     return beam_search_encoded(
         model, params, encoded, enc_lengths, beam_width=beam_width,
         max_output_length=max_output_length,
-        expansions_per_frame=expansions_per_frame)
+        expansions_per_frame=expansions_per_frame or 3)
