@@ -78,10 +78,16 @@ def main(argv=None):
             model, params, e, l, beam_width=args.beam,
             max_output_length=args.max_output_length,
             expansions_per_frame=1, prune_vocab=args.beam)),
-        f"beam-{args.beam} pallas": jax.jit(
+        f"beam-{args.beam} pallas E=1": jax.jit(
             lambda e, l: beam_search_encoded_pallas(
                 model, params, e, l, beam_width=args.beam,
-                max_output_length=args.max_output_length)),
+                max_output_length=args.max_output_length,
+                expansions_per_frame=1)),
+        f"beam-{args.beam} pallas E=6": jax.jit(
+            lambda e, l: beam_search_encoded_pallas(
+                model, params, e, l, beam_width=args.beam,
+                max_output_length=args.max_output_length,
+                expansions_per_frame=6)),
     }
     print(f"B={B} T'={T} vocab={cfg.vocab_size} dtype={dt.__name__} "
           f"({audio_s:.0f} audio-s/batch)")

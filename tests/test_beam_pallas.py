@@ -19,12 +19,15 @@ from rnnt_tpu.ops.beam_pallas import beam_search_encoded_pallas
 from tests.test_beam_stream_ckpt import CFG, _overfit_state
 
 
-def _parity(model, params, enc, enc_lens, K, L, V):
+def _parity(model, params, enc, enc_lens, K, L, V, E=1):
+    # merge_duplicates=False: the kernel keeps per-alignment copies, so the
+    # full-beam score comparison needs the unmerged XLA semantics
     tok_x, len_x, sc_x = beam_search_encoded(
         model, params, enc, enc_lens, beam_width=K, max_output_length=L,
-        expansions_per_frame=1, prune_vocab=V - 1)
+        expansions_per_frame=E, prune_vocab=V - 1, merge_duplicates=False)
     tok_p, len_p, sc_p = beam_search_encoded_pallas(
-        model, params, enc, enc_lens, beam_width=K, max_output_length=L)
+        model, params, enc, enc_lens, beam_width=K, max_output_length=L,
+        expansions_per_frame=E)
     B = enc.shape[0]
     for b in range(B):
         lx, lp = int(len_x[b]), int(len_p[b])
@@ -36,15 +39,15 @@ def _parity(model, params, enc, enc_lens, K, L, V):
     return len_x
 
 
-@pytest.mark.parametrize("beam_width", [2, 4])
-def test_overfit_parity_emitting(beam_width):
+@pytest.mark.parametrize("beam_width,expansions", [(2, 1), (4, 1), (3, 3)])
+def test_overfit_parity_emitting(beam_width, expansions):
     state, batch, labels, loss = _overfit_state()
     assert loss < 0.5, loss
     model = Transducer(CFG)
     enc, _ = model.encode(state.params, batch["mel_specs"])
     enc_lens = model.encoded_length(batch["spec_lengths"])
     lens = _parity(model, state.params, enc, enc_lens,
-                   beam_width, 8, CFG.vocab_size)
+                   beam_width, 8, CFG.vocab_size, E=expansions)
     assert int(jnp.sum(lens)) > 0  # the overfit model really emits
 
 
