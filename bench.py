@@ -34,7 +34,8 @@ def main():
     # Batch geometry: ~7.7 s utterances (T=256 stacked 30 ms frames), U=64.
     # The fused joint+loss path never materializes [B,T,U+1,V] logits and
     # chunks its backward, so B scales past 64 on one v5e chip (the unfused
-    # fp32 lattice capped at 32); B=96 measured best (3241 audio-s/s).
+    # fp32 lattice capped at 32); B=96 measured best (3925 audio-s/s with
+    # the full-batch LSTM tile; B=128 regresses to 3897 in the loss bwd).
     B, T, U = 96, 256, 64
     seconds_per_frame = cfg.frame_step * cfg.downsample_factor  # 0.03
     audio_seconds_per_batch = B * T * seconds_per_frame

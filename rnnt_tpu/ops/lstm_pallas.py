@@ -40,6 +40,23 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _compiler_params():
+    # b-blocks are independent (scratch state resets at t==0 per block); the
+    # t dimension carries the recurrence.  Raise the scoped-VMEM ceiling past
+    # the 16 MB default so large batch tiles (Bt=96: ~17 MB of live blocks in
+    # the backward) compile — the chip has 128 MB of VMEM.
+    try:
+        from jax.experimental.pallas import tpu as _pltpu
+        return _pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+    except Exception:
+        return None
+
+
+_COMPILER_PARAMS = _compiler_params()
+
+
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(xp_ref, wh_ref, wp_ref, bias_ref, h0_ref, c0_ref,
@@ -109,6 +126,7 @@ def _fwd_call(xp, wh, wp, bias, h0, c0, *, Bt, dtype):
             pltpu.VMEM((Bt, H), jnp.float32),
         ],
         interpret=_interpret_default(),
+        compiler_params=_COMPILER_PARAMS,
     )(xp, wh, wp, bias[None, :], h0, c0)
 
 
@@ -186,6 +204,7 @@ def lstm_seq_infer(params, x, state):
             pltpu.VMEM((Bt, H), jnp.float32),
         ],
         interpret=_interpret_default(),
+        compiler_params=_COMPILER_PARAMS,
     )(xp, params["wh"], params["wp"], params["bias"][None, :],
       h0.astype(dtype), c0.astype(jnp.float32))
     return jnp.moveaxis(h_seq, 0, 1), (c_fin, h_fin.astype(h0.dtype))
@@ -282,13 +301,24 @@ def _bwd_call(zseq, cseq, c0, dhout, whT, wpT, *, Bt, dtype):
             pltpu.VMEM((Bt, H), jnp.float32),
         ],
         interpret=_interpret_default(),
+        compiler_params=_COMPILER_PARAMS,
     )(zseq, cseq, cseq, c0, dhout, whT, wpT)
 
 
 # ------------------------------------------------------------- public op
 
 def _pick_bt(B: int) -> int:
-    for bt in (32, 16, 8):
+    # The MXU consumes 128 rows per pass: larger batch tiles fill more of
+    # them per recurrent step AND re-fetch the VMEM-pinned weights fewer
+    # times (once per b-block).  Measured on v5e at parity scale (B=96,
+    # T=256): Bt=96 beats Bt=32 by ~8% end-to-end (see BASELINE.md).
+    import os
+    env = os.environ.get("RNNT_LSTM_BT")
+    if env:
+        bt = int(env)
+        if B % bt == 0:
+            return bt
+    for bt in (128, 96, 64, 48, 32, 16, 8):
         if B % bt == 0:
             return bt
     return B
