@@ -102,6 +102,20 @@ def _interpret_default() -> bool:
         return True
 
 
+def _compiler_params():
+    # Cell-tile grid dims are independent; only the v-stream (last dim)
+    # carries state through the online-logsumexp scratch.  Raise the scoped
+    # VMEM ceiling past the 16 MB default so bigger (C, Vt) tiles compile
+    # (the chip has 128 MB; see _auto_vt budget).
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+    except Exception:
+        return None
+
+
 def _auto_vt(C: int, J: int, V: int, budget_bytes: int = 15 * 2**20 + 2**19) -> int:
     """Largest v-tile fitting VMEM: logits C*Vt fp32 + W2 J*Vt bf16 + h C*J
     fp32 (+ block buffers).  Measured on v5e at C=512: Vt 512 -> 77 TFLOP/s,
@@ -122,12 +136,19 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
                     Vt: int | None = None):
     """f [B,T,J], g [B,U1,J] -> (denom, blank, emit) planes [B,T,U1] fp32."""
     interpret = _interpret_default()
+    import os
+    env = os.environ.get("RNNT_FUSED_TILES")  # "Bt,Tt,Ut[,Vt]" sweep hook
+    if env:
+        parts = [int(x) for x in env.split(",")]
+        Bt, Tt, Ut = parts[:3]
+        if len(parts) > 3:
+            Vt = parts[3]
     B, T, J = f.shape
     U1 = g.shape[1]
     V = w2.shape[1]
     if Vt is None:
         Vt = _auto_vt(min(Bt, 8) * Tt * Ut, J, V)
-    Bt, Tt, Ut, Vt = min(Bt, 8), Tt, Ut, min(Vt, V)
+    Bt, Tt, Ut, Vt = min(Bt, 8) if not env else Bt, Tt, Ut, min(Vt, V)
 
     Bp = _round_up(B, Bt)
     Tp = _round_up(T, Tt)
@@ -188,6 +209,7 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
             pltpu.VMEM((C, 1), jnp.float32),    # emit logit
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(f, g, y_cells, b1[None, :], w2p, b2p[None, :])
 
     def unflatten(x):
@@ -242,6 +264,14 @@ _BWD_CHUNK = 8  # batch rows whose [chunk,T,U+1,V] grad tensors coexist
 # (swept in the FULL train step on v5e at B=64: (Vt=2048, chunk=8) -> 160ms,
 # (2048,16) -> 184ms, (512,16) -> 173ms — chunk 16 wins standalone but loses
 # embedded, likely memory-pressure scheduling)
+#
+# Roofline (v5e, B=96/T'=128/U=64/V=4096): the backward's three C×J×V
+# matmuls (logits recompute, dh, dW2) are 12.6 TFLOP -> 63 ms floor at peak;
+# measured 92 ms = 137 TFLOP/s (70% peak), the gap being dlogits HBM
+# round-trips.  Chunk sweep at B=96: 6->129.9, 8->129.9, 12->131.6,
+# 16->131.9, 24->148 ms fwd+bwd — already at the optimum.  A hand-written
+# Pallas backward would pay the same VPU/MXU serialization that caps the
+# forward planes kernel at ~120 TFLOP/s, so it cannot beat this XLA path.
 
 
 def _bwd(res, ct):
@@ -305,8 +335,10 @@ def _bwd(res, ct):
     # chunk by the largest divisor of B not exceeding _BWD_CHUNK — any B
     # stays memory-capped (a non-divisible B must NOT silently fall back to
     # one whole-batch chunk, which re-creates the OOM this path avoids)
+    import os
+    max_chunk = int(os.environ.get("RNNT_FUSED_BWD_CHUNK", _BWD_CHUNK))
     chunk = 1
-    for c in range(min(B, _BWD_CHUNK), 0, -1):
+    for c in range(min(B, max_chunk), 0, -1):
         if B % c == 0:
             chunk = c
             break
