@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_checkpoint", type=int, default=1000)
     p.add_argument("--eval_size", type=int, default=50,
                    help="max eval batches per periodic eval (run_rnnt.py:55-57)")
+    p.add_argument("--reader_threads", type=int, default=1,
+                   help="parallel shard-reader threads for the training "
+                        "input pipeline (hosts feeding many chips)")
     p.add_argument("--shuffle_buffer", type=int, default=4096,
                    help="streaming shuffle buffer for training (0 = off; "
                         "reseeded per epoch)")
@@ -159,12 +162,16 @@ def main(argv=None):
 
     def batches(split, shuffle=False):
         def gen(epoch=0):
-            yield from pipeline.batches_from_shards(
+            stream = pipeline.batches_from_shards(
                 os.path.join(args.data_dir, f"{split}-*.rnr"), args.batch_size,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
                 shuffle_buffer=args.shuffle_buffer if shuffle else 0,
-                seed=epoch * 9973 + jax.process_index())
+                seed=epoch * 9973 + jax.process_index(),
+                reader_threads=args.reader_threads if shuffle else 1)
+            # background the host-side batch assembly so it overlaps device
+            # steps (the .prefetch() of run_rnnt.py:84)
+            yield from pipeline.prefetch(stream, depth=2)
         return gen
 
     if args.profile_dir:

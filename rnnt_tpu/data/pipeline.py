@@ -161,17 +161,101 @@ def bucket_batches(
                 yield batch
 
 
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Run `iterable` on a background thread, keeping `depth` items queued.
+
+    The host-side batch assembly (read + CRC + shuffle + pad copies) then
+    overlaps with device steps beyond the single step JAX's async dispatch
+    hides — the tf.data `.prefetch()` equivalent (run_rnnt.py:84).
+    Exceptions on the producer thread re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as ex:  # noqa: BLE001 — re-raised at consumer
+            q.put((_ERR, ex))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
+
+
+def _threaded_examples(paths: List[str], n_threads: int,
+                       queue_size: int = 512) -> Iterator[Dict]:
+    """Interleave examples from shard files read by `n_threads` workers.
+
+    Scales the read+deserialize rate past one core (CRC32 and numpy buffer
+    copies release the GIL).  Interleaving order is nondeterministic — use
+    only with shuffle_buffer > 1 (training); keep the default single-threaded
+    reader where byte-for-byte reproducibility matters (eval, tests)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+    _END, _ERR = object(), object()
+
+    def worker(sub):
+        try:
+            for p in sub:
+                for ex in records_mod.read_shard(p):
+                    q.put(ex)
+            q.put(_END)
+        except BaseException as ex:  # noqa: BLE001
+            q.put((_ERR, ex))
+
+    subs = [paths[i::n_threads] for i in range(n_threads)]
+    for sub in subs:
+        threading.Thread(target=worker, args=(sub,), daemon=True).start()
+    done = 0
+    while done < n_threads:
+        item = q.get()
+        if item is _END:
+            done += 1
+        elif isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        else:
+            yield item
+
+
 def batches_from_shards(pattern: str, batch_size: int, *,
                         process_index: int = 0, process_count: int = 1,
                         shuffle_buffer: int = 0, seed: int = 0,
+                        reader_threads: int = 1,
                         **bucket_kw) -> Iterator[Dict[str, np.ndarray]]:
     """records shards -> bucketed padded batches (the get_dataset equivalent,
     run_rnnt.py:66-90, with host-disjoint shard reading for multi-host).
 
     shuffle_buffer > 1 enables streaming shuffle; pass a per-epoch seed so
-    every epoch sees a different order."""
-    stream = records_mod.read_shards(
-        pattern, process_index=process_index, process_count=process_count)
+    every epoch sees a different order.  reader_threads > 1 parallelizes
+    shard reading (nondeterministic interleave; requires shuffle_buffer > 1)
+    for hosts feeding many chips."""
+    if reader_threads > 1:
+        if shuffle_buffer <= 1:
+            raise ValueError("reader_threads > 1 requires shuffle_buffer > 1 "
+                             "(parallel reads interleave nondeterministically)")
+        import glob as globlib
+        paths = sorted(globlib.glob(pattern))
+        if not paths:
+            raise FileNotFoundError(f"no shards match {pattern}")
+        stream = _threaded_examples(
+            paths[process_index::process_count],
+            min(reader_threads, max(1, len(paths[process_index::process_count]))))
+    else:
+        stream = records_mod.read_shards(
+            pattern, process_index=process_index, process_count=process_count)
     if shuffle_buffer > 1:
         stream = shuffle_stream(stream, shuffle_buffer, seed)
     yield from bucket_batches(stream, batch_size, **bucket_kw)

@@ -105,6 +105,11 @@ def write_shards(examples: Iterable[Example], path_pattern: str,
     """
     paths = [path_pattern.format(shard=i, total=num_shards)
              for i in range(num_shards)]
+    if len(set(paths)) != num_shards:
+        raise ValueError(
+            f"path_pattern {path_pattern!r} must contain a {{shard}} field "
+            f"(e.g. 'train-{{shard:05d}}.rnr'); got {num_shards} writers "
+            "colliding on the same path")
     writers = [RecordShardWriter(p) for p in paths]
     try:
         for i, ex in enumerate(examples):

@@ -133,3 +133,58 @@ def test_shuffle_stream():
     # buffer 0/1 = passthrough
     out3 = [int(e["i"]) for e in shuffle_stream(iter(items), 1, seed=1)]
     assert out3 == list(range(50))
+
+
+def test_write_shards_rejects_colliding_pattern(tmp_path):
+    # a pattern without a {shard} field would make every writer clobber the
+    # same file; must fail loudly, not corrupt silently
+    with pytest.raises(ValueError, match="shard"):
+        records.write_shards(
+            iter([_ex(5, 2)]), str(tmp_path / "train.rnr"), num_shards=2)
+
+
+def test_prefetch_preserves_order_and_errors():
+    from rnnt_tpu.data.pipeline import prefetch
+
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)
+
+
+def test_threaded_reader_same_examples(tmp_path):
+    from rnnt_tpu.data.pipeline import batches_from_shards
+
+    exs = [_ex(t=10 + i % 7, u=2 + i % 5, seed=i) for i in range(40)]
+    records.write_shards(
+        iter(exs), str(tmp_path / "train-{shard:02d}.rnr"), num_shards=4)
+    pat = str(tmp_path / "train-*.rnr")
+
+    def example_multiset(**kw):
+        out = []
+        for b in batches_from_shards(pat, 4, shuffle_buffer=8, seed=0, **kw):
+            n = int(b.get("num_real", b["labels"].shape[0]))
+            for i in range(n):
+                t, u = int(b["spec_lengths"][i]), int(b["label_lengths"][i])
+                out.append((t, u, float(b["mel_specs"][i, :t].sum())))
+        return sorted(out)
+
+    # parallel readers interleave nondeterministically but must yield the
+    # exact same multiset of examples as the serial reader
+    assert example_multiset(reader_threads=3) == example_multiset()
+
+
+def test_threaded_reader_requires_shuffle(tmp_path):
+    from rnnt_tpu.data.pipeline import batches_from_shards
+
+    records.write_shards(
+        iter([_ex(5, 2)]), str(tmp_path / "t-{shard}.rnr"), num_shards=1)
+    with pytest.raises(ValueError, match="shuffle_buffer"):
+        next(batches_from_shards(str(tmp_path / "t-*.rnr"), 1,
+                                 reader_threads=2))
