@@ -116,6 +116,13 @@ def main(argv=None):
         args.checkpoint = args.output_dir if has_ckpt else None
 
     cfg = _load_config(args)
+    if args.model_parallel > 1 and cfg.lstm_impl == "auto":
+        # GSPMD can shard the scan's gate matmuls over the 'model' axis; the
+        # opaque Pallas sequence kernel would force an all-gather of the
+        # column/row-sharded LSTM weights (see config.lstm_impl).
+        print("model_parallel > 1: using scan LSTM (GSPMD-shardable); "
+              "set lstm_impl=pallas to override")
+        cfg = cfg.replace(lstm_impl="scan")
     os.makedirs(args.output_dir, exist_ok=True)
 
     # tokenizer travels with checkpoint/data dir (run_rnnt.py:456-467)

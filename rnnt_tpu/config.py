@@ -63,6 +63,13 @@ class RNNTConfig:
     # the bound tight at parity scale while cutting loss compute ~(U+1)/band
     loss_band: int = 32
 
+    # LSTM implementation: "auto" (Pallas VMEM-resident sequence kernel on
+    # TPU with aligned shapes, lax.scan otherwise), "pallas", or "scan".
+    # Tensor-parallel runs (model_parallel_size > 1) want "scan": GSPMD can
+    # column/row-shard the scan's gate matmuls over the 'model' axis, while
+    # an opaque pallas_call forces an all-gather of the sharded weights.
+    lstm_impl: str = "auto"
+
     # Decoding
     max_symbols_per_frame: int = 30         # bound for jit-able greedy decode
     beam_width: int = 4

@@ -61,7 +61,8 @@ def encode(
     for i, layer in enumerate(params["layers"]):
         st = state[i] if state is not None else None
         x, st_new = L.lstm_layer(layer["lstm"], x, st,
-                                 inference=not training)
+                                 inference=not training,
+                                 impl=cfg.lstm_impl)
         new_state.append(st_new)
         if training and cfg.dropout > 0:
             rng, sub = jax.random.split(rng)

@@ -95,6 +95,7 @@ def lstm_layer(
     *,
     unroll: int = 8,
     inference: bool = False,
+    impl: str = "auto",
 ):
     """Run a projected-LSTM over [B, T, F] -> ([B, T, P], final_state).
 
@@ -112,7 +113,9 @@ def lstm_layer(
     if state is None:
         state = lstm_zero_state(B, H, P, x.dtype)
 
-    if _pallas_eligible(params, B, T):
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and _pallas_eligible(params, B, T)))
+    if use_pallas:
         if inference:
             # no BPTT residual emission (decode/eval path; not differentiable)
             from rnnt_tpu.ops.lstm_pallas import lstm_seq_infer

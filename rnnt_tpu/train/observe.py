@@ -49,9 +49,30 @@ class MetricsWriter:
                     pass
 
     def hparams(self, cfg) -> None:
-        """Record the run's hyperparameters (run_rnnt.py:520 hp.hparams)."""
+        """Record the run's hyperparameters (run_rnnt.py:520 hp.hparams).
+
+        JSON sidecar always; when TensorBoard is importable, also the HParams
+        plugin registration (run_rnnt.py:199-218 hp.hparams_config +
+        hp.hparams) so runs compare in TB's HPARAMS tab."""
+        d = dataclasses.asdict(cfg)
         with open(os.path.join(self.dir, "hparams.json"), "w") as f:
-            json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
+            json.dump(d, f, indent=2, sort_keys=True)
+        if self._tb is None:
+            return
+        try:
+            from tensorboard.plugins.hparams import api as hp  # type: ignore
+
+            flat = {k: (v if isinstance(v, (bool, int, float, str))
+                        else json.dumps(v)) for k, v in d.items()}
+            from tensorboard.compat.proto import event_pb2  # type: ignore
+
+            pb = hp.hparams_pb(flat)
+            # tensorboard.summary.Writer exposes no raw-summary hook; feed
+            # the plugin summary through its underlying event writer.
+            ev = event_pb2.Event(wall_time=time.time(), summary=pb)
+            self._tb._output._ev_writer.add_event(ev)  # noqa: SLF001
+        except Exception:
+            pass
 
     def close(self) -> None:
         self._jsonl.close()

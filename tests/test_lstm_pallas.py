@@ -93,3 +93,31 @@ def test_infer_matches_train_forward():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_lstm_impl_knob(monkeypatch):
+    """impl='scan' must not touch the Pallas kernel (TP meshes rely on it);
+    impl='pallas' must force it even where the auto heuristic says no."""
+    import rnnt_tpu.models.lstm as L
+    import rnnt_tpu.ops.lstm_pallas as lp
+
+    rng = np.random.default_rng(0)
+    params = {
+        "wx": jnp.asarray(rng.standard_normal((8, 4 * 128)) * 0.1, jnp.float32),
+        "wh": jnp.asarray(rng.standard_normal((128, 4 * 128)) * 0.1, jnp.float32),
+        "bias": jnp.zeros((4 * 128,), jnp.float32),
+        "wp": jnp.asarray(rng.standard_normal((128, 128)) * 0.1, jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((8, 12, 8)), jnp.float32)
+
+    called = []
+    real = lp.lstm_seq
+    monkeypatch.setattr(lp, "lstm_seq",
+                        lambda *a, **k: called.append(1) or real(*a, **k))
+
+    out_scan, _ = L.lstm_layer(params, x, None, impl="scan")
+    assert not called
+    out_pallas, _ = L.lstm_layer(params, x, None, impl="pallas")
+    assert called
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_scan),
+                               rtol=1e-4, atol=1e-4)
