@@ -68,7 +68,11 @@ def parse_args(argv=None):
     # model/config overrides
     p.add_argument("--config_override", nargs="*", default=[],
                    metavar="KEY=VALUE")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.reader_threads > 1 and args.shuffle_buffer <= 1:
+        p.error("--reader_threads > 1 requires --shuffle_buffer > 1 "
+                "(parallel reads interleave nondeterministically)")
+    return args
 
 
 def _load_config(args):
@@ -116,13 +120,6 @@ def main(argv=None):
         args.checkpoint = args.output_dir if has_ckpt else None
 
     cfg = _load_config(args)
-    if args.model_parallel > 1 and cfg.lstm_impl == "auto":
-        # GSPMD can shard the scan's gate matmuls over the 'model' axis; the
-        # opaque Pallas sequence kernel would force an all-gather of the
-        # column/row-sharded LSTM weights (see config.lstm_impl).
-        print("model_parallel > 1: using scan LSTM (GSPMD-shardable); "
-              "set lstm_impl=pallas to override")
-        cfg = cfg.replace(lstm_impl="scan")
     os.makedirs(args.output_dir, exist_ok=True)
 
     # tokenizer travels with checkpoint/data dir (run_rnnt.py:456-467)
@@ -137,6 +134,16 @@ def main(argv=None):
             shutil.copy(src, dst)
     cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
     cfg.save(args.output_dir)
+
+    if args.model_parallel > 1 and cfg.lstm_impl == "auto":
+        # GSPMD can shard the scan's gate matmuls over the 'model' axis; the
+        # opaque Pallas sequence kernel would force an all-gather of the
+        # column/row-sharded LSTM weights (see config.lstm_impl).  Applied
+        # AFTER cfg.save: a runtime choice for this mesh, not a property of
+        # the checkpoint (a later single-chip resume wants the fast path).
+        print("model_parallel > 1: using scan LSTM (GSPMD-shardable); "
+              "set lstm_impl=pallas to override")
+        cfg = cfg.replace(lstm_impl="scan")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 

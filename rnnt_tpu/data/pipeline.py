@@ -161,36 +161,75 @@ def bucket_batches(
                 yield batch
 
 
+_END, _ERR = object(), object()
+
+
+def _pump(iterable, q, stop) -> None:
+    """Producer-thread body: move items into `q` until exhausted or stopped.
+
+    Always terminates with _END (or an (_ERR, exc) pair) and honors `stop`
+    even when the queue is full, so an abandoned consumer can never leave
+    the thread blocked in q.put holding batches and open shard files."""
+    import queue as queue_mod
+
+    try:
+        for item in iterable:
+            while True:
+                if stop.is_set():
+                    return
+                try:
+                    q.put(item, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    continue
+        q.put(_END)
+    except BaseException as ex:  # noqa: BLE001 — re-raised at consumer
+        q.put((_ERR, ex))
+    finally:
+        close = getattr(iterable, "close", None)  # free generator resources
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+
+
+def _drain(q, stop, n_producers: int) -> Iterator:
+    """Consumer side of _pump: yield until every producer finished.
+
+    Implemented as a generator so an early-exiting consumer (eval's
+    max_batches break, preemption) triggers GeneratorExit here and the
+    finally block signals the producers to stop."""
+    try:
+        done = 0
+        while done < n_producers:
+            item = q.get()
+            if item is _END:
+                done += 1
+            elif isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            else:
+                yield item
+    finally:
+        stop.set()
+
+
 def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
     """Run `iterable` on a background thread, keeping `depth` items queued.
 
     The host-side batch assembly (read + CRC + shuffle + pad copies) then
     overlaps with device steps beyond the single step JAX's async dispatch
     hides — the tf.data `.prefetch()` equivalent (run_rnnt.py:84).
-    Exceptions on the producer thread re-raise at the consumer."""
+    Exceptions on the producer thread re-raise at the consumer; abandoning
+    the iterator stops the producer thread."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
-    _END, _ERR = object(), object()
-
-    def producer():
-        try:
-            for item in iterable:
-                q.put(item)
-            q.put(_END)
-        except BaseException as ex:  # noqa: BLE001 — re-raised at consumer
-            q.put((_ERR, ex))
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield item
+    stop = threading.Event()
+    threading.Thread(target=_pump, args=(iterable, q, stop),
+                     daemon=True).start()
+    return _drain(q, stop, 1)
 
 
 def _threaded_examples(paths: List[str], n_threads: int,
@@ -205,29 +244,13 @@ def _threaded_examples(paths: List[str], n_threads: int,
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=queue_size)
-    _END, _ERR = object(), object()
-
-    def worker(sub):
-        try:
-            for p in sub:
-                for ex in records_mod.read_shard(p):
-                    q.put(ex)
-            q.put(_END)
-        except BaseException as ex:  # noqa: BLE001
-            q.put((_ERR, ex))
-
-    subs = [paths[i::n_threads] for i in range(n_threads)]
-    for sub in subs:
-        threading.Thread(target=worker, args=(sub,), daemon=True).start()
-    done = 0
-    while done < n_threads:
-        item = q.get()
-        if item is _END:
-            done += 1
-        elif isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        else:
-            yield item
+    stop = threading.Event()
+    for i in range(n_threads):
+        threading.Thread(
+            target=_pump,
+            args=(records_mod.read_shards(paths[i::n_threads]), q, stop),
+            daemon=True).start()
+    return _drain(q, stop, n_threads)
 
 
 def batches_from_shards(pattern: str, batch_size: int, *,
@@ -250,9 +273,9 @@ def batches_from_shards(pattern: str, batch_size: int, *,
         paths = sorted(globlib.glob(pattern))
         if not paths:
             raise FileNotFoundError(f"no shards match {pattern}")
-        stream = _threaded_examples(
-            paths[process_index::process_count],
-            min(reader_threads, max(1, len(paths[process_index::process_count]))))
+        mine = paths[process_index::process_count]
+        stream = (_threaded_examples(mine, min(reader_threads, len(mine)))
+                  if mine else iter(()))  # this host owns no shards
     else:
         stream = records_mod.read_shards(
             pattern, process_index=process_index, process_count=process_count)

@@ -137,18 +137,22 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
     """f [B,T,J], g [B,U1,J] -> (denom, blank, emit) planes [B,T,U1] fp32."""
     interpret = _interpret_default()
     import os
-    env = os.environ.get("RNNT_FUSED_TILES")  # "Bt,Tt,Ut[,Vt]" sweep hook
+    # "Bt,Tt,Ut[,Vt]" sweep hook — read at TRACE time: sweeping values in
+    # one process needs a fresh jit per setting (see docs/PERFORMANCE.md)
+    env = os.environ.get("RNNT_FUSED_TILES")
     if env:
         parts = [int(x) for x in env.split(",")]
         Bt, Tt, Ut = parts[:3]
         if len(parts) > 3:
             Vt = parts[3]
+    else:
+        Bt = min(Bt, 8)
     B, T, J = f.shape
     U1 = g.shape[1]
     V = w2.shape[1]
     if Vt is None:
-        Vt = _auto_vt(min(Bt, 8) * Tt * Ut, J, V)
-    Bt, Tt, Ut, Vt = min(Bt, 8) if not env else Bt, Tt, Ut, min(Vt, V)
+        Vt = _auto_vt(Bt * Tt * Ut, J, V)
+    Vt = min(Vt, V)
 
     Bp = _round_up(B, Bt)
     Tp = _round_up(T, Tt)

@@ -312,13 +312,18 @@ def _pick_bt(B: int) -> int:
     # them per recurrent step AND re-fetch the VMEM-pinned weights fewer
     # times (once per b-block).  Measured on v5e at parity scale (B=96,
     # T=256): Bt=96 beats Bt=32 by ~8% end-to-end (see BASELINE.md).
+    # Tiles above 32 need the raised scoped-VMEM ceiling (~17 MB of live
+    # blocks in the backward at Bt=96 vs the 16 MB default) — only reach
+    # for them when the CompilerParams override actually constructed.
     import os
     env = os.environ.get("RNNT_LSTM_BT")
     if env:
         bt = int(env)
         if B % bt == 0:
             return bt
-    for bt in (128, 96, 64, 48, 32, 16, 8):
+    tiles = (128, 96, 64, 48, 32, 16, 8) if _COMPILER_PARAMS is not None \
+        else (32, 16, 8)
+    for bt in tiles:
         if B % bt == 0:
             return bt
     return B

@@ -51,9 +51,14 @@ class MetricsWriter:
     def hparams(self, cfg) -> None:
         """Record the run's hyperparameters (run_rnnt.py:520 hp.hparams).
 
-        JSON sidecar always; when TensorBoard is importable, also the HParams
-        plugin registration (run_rnnt.py:199-218 hp.hparams_config +
-        hp.hparams) so runs compare in TB's HPARAMS tab."""
+        JSON sidecar always; when TensorBoard is importable, also an HParams
+        plugin session summary (the hp.hparams(...) half of the reference's
+        run_rnnt.py:199-218,520 registration; the hparams_config experiment
+        summary is implied by the session in modern TB) so runs compare in
+        TB's HPARAMS tab.  Reaches through tensorboard.summary.Writer
+        internals (no public raw-summary hook exists) —
+        tests/test_train_loop.py::test_hparams_plugin_event pins the
+        behavior so a TB upgrade can't silently regress it."""
         d = dataclasses.asdict(cfg)
         with open(os.path.join(self.dir, "hparams.json"), "w") as f:
             json.dump(d, f, indent=2, sort_keys=True)

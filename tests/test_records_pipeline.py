@@ -188,3 +188,36 @@ def test_threaded_reader_requires_shuffle(tmp_path):
     with pytest.raises(ValueError, match="shuffle_buffer"):
         next(batches_from_shards(str(tmp_path / "t-*.rnr"), 1,
                                  reader_threads=2))
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Early-exiting consumers (eval's max_batches break) must not leave the
+    producer thread blocked in q.put holding resources."""
+    import gc
+    import threading
+    import time as time_mod
+
+    from rnnt_tpu.data.pipeline import prefetch
+
+    produced = []
+
+    def slow_infinite():
+        i = 0
+        while True:
+            produced.append(i)
+            yield i
+            i += 1
+
+    before = threading.active_count()
+    it = prefetch(slow_infinite(), depth=2)
+    assert next(it) == 0
+    it.close()  # what GC does when the iterator is abandoned
+    del it
+    gc.collect()
+    deadline = time_mod.time() + 5.0
+    while threading.active_count() > before and time_mod.time() < deadline:
+        time_mod.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    n = len(produced)
+    time_mod.sleep(0.3)
+    assert len(produced) == n, "producer still running after consumer close"

@@ -120,3 +120,33 @@ def test_run_evaluate_metrics(tmp_path):
     m = run_evaluate(CFG, state, iter(batches), decode_metrics=True)
     assert np.isfinite(m["eval_loss"])
     assert 0.0 <= m["eval_accuracy"] <= 1.0
+
+
+def test_hparams_plugin_event(tmp_path):
+    """The TB HParams session summary must actually land in the event file —
+    observe.hparams reaches through TB Writer internals, so pin it here."""
+    from rnnt_tpu.config import tiny_config
+    from rnnt_tpu.train.observe import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), "r")
+    w.hparams(tiny_config())
+    w.scalars(1, {"train_loss": 1.0})
+    w.close()
+
+    try:
+        from tensorboard.backend.event_processing.event_file_loader import (
+            EventFileLoader)
+    except Exception:
+        import pytest
+        pytest.skip("tensorboard not importable")
+    import glob as globlib
+    import os
+    files = globlib.glob(os.path.join(str(tmp_path), "r", "events.*"))
+    assert files, "no TB event file written"
+    plugins = set()
+    for ev in EventFileLoader(files[0]).Load():
+        if ev.HasField("summary"):
+            for v in ev.summary.value:
+                plugins.add(v.metadata.plugin_data.plugin_name)
+    assert "hparams" in plugins, plugins
+    assert "scalars" in plugins, plugins
