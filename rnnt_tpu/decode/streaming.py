@@ -14,6 +14,13 @@ Chunk handling details the Keras version got subtly wrong:
   context, streaming_transcribe.py:44-50).
 - frame stacking (x3) and TimeReduction (x2) alignment: leftover frames that
   don't fill a stack ride in the remainder as samples.
+- per-feature normalization: training features are whole-utterance
+  mean-subtracted (preprocessing.py:79), a statistic that doesn't exist
+  mid-stream.  The reference normalized every chunk by its own mean —
+  wildly off-distribution for ~64 ms chunks.  Here a causal running mean
+  accumulates over the stream (exact at stream end, noisier early), and
+  held-back remainder frames stay raw so they're re-normalized with the
+  best mean available when finally fed.
 """
 
 from __future__ import annotations
@@ -60,8 +67,17 @@ class StreamingTranscriber:
         self._sample_rem = np.zeros((0,), np.float32)  # boundary samples
         self._frame_rem = np.zeros((0, self.cfg.mel_bins), np.float32)
         # stacked frames held back so each encode() sees a multiple of the
-        # time-reduction factor (keeps chunked == full-utterance exact)
+        # time-reduction factor (keeps chunked == full-utterance exact);
+        # held RAW — normalization happens at feed time with the mean then
+        # available
         self._stacked_rem = np.zeros((0, self.cfg.input_feat_size), np.float32)
+        # causal running mean for per-feature normalization: training data
+        # was whole-utterance mean-subtracted (preprocessing.py:79), so the
+        # stream must converge to that statistic rather than normalize each
+        # tiny chunk by its own mean (the reference's per-chunk featurization
+        # fed the model wildly off-distribution features)
+        self._lm_sum = np.zeros((self.cfg.mel_bins,), np.float64)
+        self._lm_count = 0
         self._enc_state = None
         self._carry = None
         self._text_ids: List[int] = []
@@ -84,21 +100,28 @@ class StreamingTranscriber:
         consumed = n_frames * step
         self._sample_rem = buf[consumed:]
 
-        # NOTE: streaming mean-subtraction uses the chunk mean (the reference
-        # did the same per-chunk normalization, preprocessing.py:79).
+        # Raw log-mels; normalization below uses the causal running mean so
+        # the features converge to the whole-utterance statistics training
+        # used (exact at stream end; early frames see a noisier estimate —
+        # the price of causality).
         log_mel = np.asarray(F.log_mel_spectrogram(
-            jnp.asarray(buf[: consumed + (frame_len - step)]), cfg))
+            jnp.asarray(buf[: consumed + (frame_len - step)]), cfg,
+            mean_subtract=False))
+        self._lm_sum += log_mel.sum(axis=0, dtype=np.float64)
+        self._lm_count += len(log_mel)
+        mean = (self._lm_sum / max(self._lm_count, 1)).astype(np.float32)
 
         frames = np.concatenate([self._frame_rem, log_mel], 0)
         n_stack = (len(frames) // cfg.downsample_factor) * cfg.downsample_factor
         self._frame_rem = frames[n_stack:]
-        mel = np.concatenate([
+        mel_raw = np.concatenate([
             self._stacked_rem,
             frames[:n_stack].reshape(-1, cfg.input_feat_size)], 0)
+        mel = mel_raw - np.tile(mean, cfg.downsample_factor)
         # feed a multiple of the reduction factor (exact state continuation)
         r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
         n_feed = (len(mel) // r) * r
-        self._stacked_rem = mel[n_feed:]
+        self._stacked_rem = mel_raw[n_feed:]  # raw: re-normalized next chunk
         if n_feed == 0:
             return self.text
         mel = mel[:n_feed]

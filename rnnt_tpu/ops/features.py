@@ -85,13 +85,18 @@ def _pallas_frontend_eligible() -> bool:
         return False
 
 
-def log_mel_spectrogram(audio: jnp.ndarray, cfg: RNNTConfig) -> jnp.ndarray:
+def log_mel_spectrogram(audio: jnp.ndarray, cfg: RNNTConfig,
+                        mean_subtract: bool = True) -> jnp.ndarray:
     """Audio [N] float32 in [-1,1] -> log-mel [num_frames, mel_bins],
     per-feature mean-subtracted (preprocessing.py:48-81).
 
     On TPU this dispatches to the fused Pallas frontend (framing + windowed
     matmul-DFT + mel + log in one kernel, ops/features_pallas.py); the XLA
     rfft path below is the semantics anchor and the CPU/debug path.
+
+    mean_subtract=False returns raw log-mels — the streaming path owns its
+    normalization (a causal running mean; decode/streaming.py), since a
+    whole-utterance mean doesn't exist mid-stream.
     """
     if _pallas_frontend_eligible():
         from rnnt_tpu.ops.features_pallas import log_mel_frontend
@@ -107,6 +112,8 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: RNNTConfig) -> jnp.ndarray:
             cfg.hertz_low, cfg.hertz_high))
         mel = jnp.dot(mag, mel_mat, preferred_element_type=jnp.float32)
         log_mel = jnp.log(mel + 1e-6)
+    if not mean_subtract:
+        return log_mel
     return log_mel - (jnp.mean(log_mel, axis=0) + 1e-8)
 
 

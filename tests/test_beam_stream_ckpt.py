@@ -181,3 +181,40 @@ def test_checkpoint_orbax_backend(tmp_path):
         for a, b in zip(jax.tree_util.tree_leaves(state),
                         jax.tree_util.tree_leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_causal_mean_converges_to_offline_features():
+    """The streaming causal running-mean normalization must converge to the
+    offline whole-utterance mean: the LAST chunk's fed features (cumulative
+    mean == full mean by then) must match the offline frontend exactly."""
+    from rnnt_tpu.ops import features as F
+
+    cfg = CFG.replace(sample_rate=16000)
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    state, _, _, _ = _overfit_state(steps=1, tol=-1)
+    tok = CharTokenizer()
+    st = StreamingTranscriber(cfg, state.params, tok)
+
+    fed = []
+    orig_run = st._run
+
+    def spy(params, mel, enc_state, carry):
+        fed.append(np.asarray(mel))
+        return orig_run(params, mel, enc_state, carry)
+
+    st._run = spy
+    for off in range(0, len(audio), 1600):
+        st.process_chunk(audio[off: off + 1600])
+
+    offline = np.asarray(F.preprocess_audio(jnp.asarray(audio), cfg))
+    streamed = np.concatenate(fed, 0)
+    # same frame count modulo the held-back tail
+    assert abs(len(offline) - len(streamed)) <= cfg.time_reduction_factor
+    n = min(len(offline), len(streamed))
+    # the final fed rows used the complete cumulative mean == offline mean
+    np.testing.assert_allclose(streamed[n - 2: n], offline[n - 2: n],
+                               rtol=1e-4, atol=1e-4)
+    # early rows are causally normalized: close in scale, not exact
+    assert np.max(np.abs(streamed[:n] - offline[:n])) < 1.0
