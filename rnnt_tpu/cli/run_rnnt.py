@@ -106,6 +106,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from rnnt_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from rnnt_tpu.data import pipeline
     from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
     from rnnt_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params

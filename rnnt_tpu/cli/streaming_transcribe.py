@@ -29,6 +29,9 @@ def main(argv=None):
                    help="pace simulated chunks at real time")
     args = p.parse_args(argv)
 
+    from rnnt_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from rnnt_tpu.data.tokenizer import get_tokenizer
     from rnnt_tpu.decode.streaming import StreamingTranscriber
     from rnnt_tpu.train import checkpoint as ckpt_mod
