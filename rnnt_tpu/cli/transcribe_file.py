@@ -1,6 +1,12 @@
-"""Transcribe one audio file (ref: transcribe_file.py).
+"""Transcribe audio file(s) from a trained checkpoint.
 
-  python -m rnnt_tpu.cli.transcribe_file --checkpoint runs/ls100 -i audio.wav
+Replaces the reference's transcribe_file.py (single WAV, greedy only,
+:14-41) with a batched version: many files decode in ONE padded batch (the
+whole batch rides one jit invocation — at B=64 the chip decodes ~15k
+audio-s/s, cli/bench_decode), with optional beam search.
+
+  python -m rnnt_tpu.cli.transcribe_file --checkpoint runs/ls100 \
+      -i a.wav b.flac c.wav [--beam 4]
 """
 
 from __future__ import annotations
@@ -12,7 +18,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
                    help="checkpoint dir with config.json + tokenizer")
-    p.add_argument("-i", "--input", required=True, help="audio file (wav/flac)")
+    p.add_argument("-i", "--input", required=True, nargs="+",
+                   help="audio file(s) (wav/flac); multiple files decode "
+                        "as one padded batch")
     p.add_argument("--beam", type=int, default=0,
                    help="beam width; 0 = greedy")
     args = p.parse_args(argv)
@@ -36,30 +44,44 @@ def main(argv=None):
     state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg)
     model = Transducer(cfg)
 
-    audio, sr = read_audio(args.input)
-    assert sr == cfg.sample_rate, f"expected {cfg.sample_rate} Hz audio, got {sr}"
-    mel = preprocess_audio(jnp.asarray(audio), cfg)[None]  # [1, T, F]
+    mels, lengths = [], []
+    for path in args.input:
+        audio, sr = read_audio(path)
+        assert sr == cfg.sample_rate, \
+            f"{path}: expected {cfg.sample_rate} Hz audio, got {sr}"
+        m = np.asarray(preprocess_audio(jnp.asarray(audio), cfg))
+        mels.append(m)
+        lengths.append(m.shape[0])
 
-    # Pad T to the next power-of-two bucket (true length passed alongside):
+    # Pad T to the next power-of-two bucket (true lengths passed alongside):
     # XLA compiles once per shape, so a closed shape set makes repeated CLI
-    # invocations (and multi-file loops) hit the compile cache instead of
-    # paying a fresh trace+compile per utterance length.
-    T = mel.shape[1]
+    # invocations (and mixed-length batches) hit the compile cache instead
+    # of paying a fresh trace+compile per utterance length.
+    T = max(lengths)
     Tp = max(16, 1 << (T - 1).bit_length())
-    mel = jnp.pad(mel, ((0, 0), (0, Tp - T), (0, 0)))
-    spec_lengths = jnp.full((1,), T, jnp.int32)
+    B = len(mels)
+    mel = np.zeros((B, Tp, cfg.input_feat_size), np.float32)
+    for i, m in enumerate(mels):
+        mel[i, : m.shape[0]] = m
+    mel = jnp.asarray(mel)
+    spec_lengths = jnp.asarray(lengths, jnp.int32)
 
     if args.beam > 0:
         from rnnt_tpu.decode.beam import beam_search_decode
 
-        tokens, lengths, _ = beam_search_decode(
+        tokens, out_lens, _ = beam_search_decode(
             model, state.params, mel, spec_lengths, beam_width=args.beam)
     else:
         from rnnt_tpu.decode.greedy import greedy_decode
 
-        tokens, lengths = greedy_decode(model, state.params, mel, spec_lengths)
-    ids = np.asarray(tokens)[0, : int(np.asarray(lengths)[0])].tolist()
-    print(tokenizer.decode(ids))
+        tokens, out_lens = greedy_decode(model, state.params, mel, spec_lengths)
+
+    tokens = np.asarray(tokens)
+    out_lens = np.asarray(out_lens)
+    for i, path in enumerate(args.input):
+        text = tokenizer.decode(tokens[i, : int(out_lens[i])].tolist())
+        # single file keeps the reference's bare-text output contract
+        print(text if B == 1 else f"{path}\t{text}")
 
 
 if __name__ == "__main__":

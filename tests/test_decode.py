@@ -115,3 +115,40 @@ def test_overfit_decode_roundtrip():
         for i in range(B):
             got = np.asarray(tokens[i, :int(lengths[i])])
             np.testing.assert_array_equal(got, np.asarray(labels[i]))
+
+
+def test_transcribe_file_cli_multi(tmp_path):
+    """End-to-end CLI: checkpoint + WAVs -> batched transcripts (single file
+    keeps the reference's bare-text stdout contract; multi prints path\\ttext)."""
+    import io
+    import contextlib
+
+    from rnnt_tpu.cli import transcribe_file as cli
+    from rnnt_tpu.data.audio_io import write_wav
+    from rnnt_tpu.data.tokenizer import CharTokenizer
+    from rnnt_tpu.train import checkpoint as ckpt_mod
+    from rnnt_tpu.train.state import create_train_state
+
+    cfg = CFG.replace(sample_rate=16000, token_type="character",
+                      vocab_size=CharTokenizer().vocab_size)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    ckpt_mod.save_checkpoint(str(tmp_path), state, cfg)
+
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i, n in enumerate((8000, 16000)):  # different lengths -> one batch
+        w = str(tmp_path / f"a{i}.wav")
+        write_wav(w, (rng.standard_normal(n) * 0.1).astype(np.float32), 16000)
+        wavs.append(w)
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        cli.main(["--checkpoint", str(tmp_path), "-i"] + wavs)
+    lines = [l for l in out.getvalue().splitlines()]
+    assert len(lines) == 2 and all("\t" in l for l in lines)
+    assert lines[0].startswith(wavs[0]) and lines[1].startswith(wavs[1])
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        cli.main(["--checkpoint", str(tmp_path), "-i", wavs[0]])
+    assert "\t" not in out.getvalue()  # bare text for a single file
