@@ -150,3 +150,22 @@ def test_hparams_plugin_event(tmp_path):
                 plugins.add(v.metadata.plugin_data.plugin_name)
     assert "hparams" in plugins, plugins
     assert "scalars" in plugins, plugins
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    import jax
+
+    from rnnt_tpu.compile_cache import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("RNNT_COMPILE_CACHE", str(tmp_path / "xla"))
+        jax.config.update("jax_compilation_cache_dir", None)
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+        assert (tmp_path / "xla").is_dir()
+        # idempotent: an already-configured dir (user env) wins
+        enable_compile_cache(str(tmp_path / "other"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
