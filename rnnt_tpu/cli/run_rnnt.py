@@ -164,6 +164,11 @@ def main(argv=None):
 
     # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
     mesh = make_mesh(data=-1, model=args.model_parallel)
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data:
+        sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
+                 f"data-axis size {n_data} of the {dict(mesh.shape)} mesh "
+                 f"(each device takes an equal batch shard)")
     state = state._replace(params=shard_params(mesh, state.params))
     bsh = batch_sharding(mesh)
 
