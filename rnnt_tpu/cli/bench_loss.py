@@ -39,7 +39,12 @@ def main(argv=None):
     B, T, U, V, J = args.B, args.T, args.U, args.V, args.J
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    logits = jnp.asarray(rng.standard_normal((B, T, U + 1, V)), jnp.float32)
+    # the materialized [B,T,U+1,V] lattice is ~8.7 GB fp32 at defaults —
+    # only build (and ship over the device link) when a lattice impl runs
+    logits = None
+    if any(i in args.impls for i in ("ref", "pallas")):
+        logits = jnp.asarray(rng.standard_normal((B, T, U + 1, V)),
+                             jnp.float32)
     labels = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
     fl = jnp.full((B,), T, jnp.int32)
     yl = jnp.full((B,), U, jnp.int32)
@@ -64,7 +69,10 @@ def main(argv=None):
     }
 
     def timeit(fn, n):
-        fn()
+        # materialize the warmup: on the tunnel-attached chip dispatch
+        # returns before remote compile finishes, so an un-awaited warmup
+        # leaks the compile into the timed loop
+        float(fn())
         t0 = time.perf_counter()
         for _ in range(n):
             r = fn()
