@@ -54,16 +54,15 @@ def main(argv=None):
     b2 = jnp.zeros((V,), dtype)
     w2 = jnp.asarray(rng.standard_normal((J, V)) * 0.1, dtype)
 
+    # data rides as jit ARGUMENTS: a closed-over lattice would be inlined
+    # into the HLO as a constant — the tunnel compile service rejects the
+    # multi-hundred-MB request bodies that produces (HTTP 413)
     fns = {
-        "ref": (lambda: jnp.sum(ref_mod.rnnt_loss_ref(logits, labels, fl, yl)),
-                lambda x: jnp.sum(ref_mod.rnnt_loss_ref(x, labels, fl, yl)),
+        "ref": (lambda x: jnp.sum(ref_mod.rnnt_loss_ref(x, labels, fl, yl)),
                 logits),
-        "pallas": (lambda: jnp.sum(rnnt_loss_pallas(logits, labels, fl, yl)),
-                   lambda x: jnp.sum(rnnt_loss_pallas(x, labels, fl, yl)),
+        "pallas": (lambda x: jnp.sum(rnnt_loss_pallas(x, labels, fl, yl)),
                    logits),
-        "fused": (lambda: jnp.sum(rnnt_loss_fused(
-                      f, g, b1, w2, b2, labels, fl, yl)),
-                  lambda x: jnp.sum(rnnt_loss_fused(
+        "fused": (lambda x: jnp.sum(rnnt_loss_fused(
                       x, g, b1, w2, b2, labels, fl, yl)),
                   f),
     }
@@ -82,11 +81,11 @@ def main(argv=None):
     joint_flops = 2 * B * T * (U + 1) * J * V  # fwd, fused path only
     print(f"backend={jax.default_backend()} B={B} T={T} U={U} V={V} J={J}")
     for impl in args.impls:
-        fwd, lossfn, darg = fns[impl]
-        jfwd = jax.jit(fwd)
+        lossfn, darg = fns[impl]
+        jfwd = jax.jit(lossfn)
         jgrad = jax.jit(lambda x: jax.grad(lossfn)(x))
         try:
-            t_f = timeit(lambda: jfwd(), args.iters)
+            t_f = timeit(lambda: jfwd(darg), args.iters)
             g0 = jgrad(darg)
             jax.tree_util.tree_map(lambda x: float(jnp.sum(x.astype(jnp.float32))), g0)
             t0 = time.perf_counter()
