@@ -62,6 +62,10 @@ def parse_args(argv=None):
                    help="write a jax.profiler trace of a few train steps "
                         "here (the tracing capability the reference lacked, "
                         "SURVEY.md §5)")
+    p.add_argument("--ckpt_backend", default="auto",
+                   choices=["auto", "npz", "orbax"],
+                   help="auto = orbax when multi-process (collective, "
+                        "sharded-array-safe), npz otherwise")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "SPMD (each host reads a disjoint shard subset)")
@@ -130,13 +134,14 @@ def main(argv=None):
         args.checkpoint and os.path.exists(
             os.path.join(args.checkpoint, SUBWORD_FILENAME))) else args.data_dir
     tokenizer = get_tokenizer(tok_src, cfg.token_type, cfg.vocab_size)
-    if cfg.token_type == "word-piece":
+    if cfg.token_type == "word-piece" and jax.process_index() == 0:
         src = os.path.join(tok_src, SUBWORD_FILENAME)
         dst = os.path.join(args.output_dir, SUBWORD_FILENAME)
         if os.path.abspath(src) != os.path.abspath(dst):
             shutil.copy(src, dst)
     cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
-    cfg.save(args.output_dir)
+    if jax.process_index() == 0:  # one writer for shared-storage sidecars
+        cfg.save(args.output_dir)
 
     if args.model_parallel > 1 and cfg.lstm_impl == "auto":
         # GSPMD can shard the scan's gate matmuls over the 'model' axis; the
@@ -212,6 +217,7 @@ def main(argv=None):
                 eval_max_batches=args.eval_size,
                 shard_batch=shard_batch,
                 loss_impl=args.loss_impl,
+                ckpt_backend=args.ckpt_backend,
             )
         else:
             if not args.checkpoint:

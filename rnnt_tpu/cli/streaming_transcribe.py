@@ -59,7 +59,7 @@ def main(argv=None):
             if text != last:  # print-on-change (streaming_transcribe.py:54-59)
                 print(text)
                 last = text
-        print("FINAL:", transcriber.text)
+        print("FINAL:", transcriber.flush())
         return
 
     try:

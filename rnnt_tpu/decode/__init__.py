@@ -1,3 +1,3 @@
 """Transducer decoding: greedy, beam search, streaming (ref: utils/decoding.py)."""
 
-from rnnt_tpu.decode.greedy import greedy_decode, make_greedy_decoder  # noqa: F401
+from rnnt_tpu.decode.greedy import greedy_decode  # noqa: F401

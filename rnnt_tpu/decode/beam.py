@@ -218,6 +218,7 @@ def beam_search_decode(
     max_output_length: int = 200,
     expansions_per_frame: Optional[int] = None,
     impl: str = "auto",
+    merge_duplicates: Optional[bool] = None,
 ):
     """Featurized audio -> best token sequence via beam search.
 
@@ -239,6 +240,10 @@ def beam_search_decode(
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if merge_duplicates and impl == "pallas":
+        # the on-chip kernel's contract is merge_duplicates=False
+        # (ops/beam_pallas.py); merged semantics need the XLA search
+        impl = "xla"
     if impl == "pallas":
         from rnnt_tpu.ops.beam_pallas import beam_search_encoded_pallas
 
@@ -246,7 +251,9 @@ def beam_search_decode(
             model, params, encoded, enc_lengths, beam_width=beam_width,
             max_output_length=max_output_length,
             expansions_per_frame=expansions_per_frame)
+    kw = {} if merge_duplicates is None else {
+        "merge_duplicates": merge_duplicates}
     return beam_search_encoded(
         model, params, encoded, enc_lengths, beam_width=beam_width,
         max_output_length=max_output_length,
-        expansions_per_frame=expansions_per_frame)
+        expansions_per_frame=expansions_per_frame, **kw)

@@ -122,14 +122,3 @@ def greedy_decode(
     tokens, lengths, _ = greedy_decode_encoded(
         model, params, encoded, enc_lengths, max_output_length=max_output_length)
     return tokens, lengths
-
-
-def make_greedy_decoder(model: Transducer, params, *, max_output_length: int = 200):
-    """Jitted closure mirroring greedy_decode_fn(model, hparams) (decoding.py:21)."""
-
-    @jax.jit
-    def fn(mel_specs, spec_lengths):
-        return greedy_decode(model, params, mel_specs, spec_lengths,
-                             max_output_length=max_output_length)
-
-    return fn

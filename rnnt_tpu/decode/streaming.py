@@ -81,10 +81,31 @@ class StreamingTranscriber:
         self._enc_state = None
         self._carry = None
         self._text_ids: List[int] = []
+        self._decoded_n = 0
+        self._decoded_text = ""
 
     @property
     def text(self) -> str:
-        return self.tokenizer.decode(self._text_ids)
+        # re-decode only when new tokens arrived: most chunks emit nothing,
+        # so a per-chunk full decode would do O(stream^2) tokenizer work
+        if len(self._text_ids) != self._decoded_n:
+            self._decoded_text = self.tokenizer.decode(self._text_ids)
+            self._decoded_n = len(self._text_ids)
+        return self._decoded_text
+
+    def flush(self) -> str:
+        """Drain the held-back tail at end of stream.
+
+        The remainders (boundary samples < one frame, frames not filling a
+        stack, stacked frames not filling a TimeReduction pair) can hold the
+        last ~75 ms of audio — typically the final word piece.  Push enough
+        zero samples (silence) to complete every alignment boundary so the
+        real tail gets decoded; returns the final transcript."""
+        cfg = self.cfg
+        r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
+        pad = (cfg.frame_length_samples
+               + cfg.frame_step_samples * cfg.downsample_factor * (r + 1))
+        return self.process_chunk(np.zeros(pad, np.float32))
 
     def process_chunk(self, samples: np.ndarray) -> str:
         """Feed raw audio samples; returns the transcript so far."""

@@ -45,7 +45,13 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
     """
     step = int(np.asarray(state.step))
     path = os.path.join(ckpt_dir, f"checkpoint_{step:08d}")
-    cfg.save(ckpt_dir)
+    if jax.process_index() == 0:  # one writer for the shared config sidecar
+        cfg.save(ckpt_dir)
+
+    if backend == "npz" and jax.process_count() > 1:
+        raise ValueError(
+            "backend='npz' cannot save cross-process sharded arrays; use "
+            "backend='orbax' (run_training ckpt_backend='auto' picks it)")
 
     if backend == "orbax":
         import orbax.checkpoint as ocp

@@ -74,7 +74,6 @@ def run_evaluate(
     decode: "greedy" (default, ref parity) or "beam" (BASELINE config #3 —
     beam-search WER vs greedy)."""
     eval_step = eval_step or make_eval_step(cfg)
-    model = Transducer(cfg)
 
     losses, n = [], 0
     refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
@@ -130,6 +129,7 @@ def run_training(
     writer: Optional[observe.MetricsWriter] = None,
     shard_batch: Optional[Callable[[Dict], Dict]] = None,
     loss_impl: str = "fused",
+    ckpt_backend: str = "auto",
 ) -> TrainState:
     """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
     (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
@@ -139,16 +139,23 @@ def run_training(
     rng = jax.random.PRNGKey(int(np.asarray(state.step)) + 17)
 
     own_writer = writer is None
-    if own_writer:
+    if own_writer and jax.process_index() == 0:
         writer = observe.MetricsWriter(output_dir, "tb")
         writer.hparams(cfg)
 
+    # checkpoint backend: orbax coordinates multi-process/sharded saves
+    # (every process participates); npz is the dependency-free single-
+    # process default
+    backend = (("orbax" if jax.process_count() > 1 else "npz")
+               if ckpt_backend == "auto" else ckpt_backend)
+
     def maybe_checkpoint(state):
-        # multi-host: only process 0 writes checkpoints/metrics — concurrent
-        # writers on shared storage corrupt state.npz / metrics.jsonl
-        if jax.process_index() != 0:
-            return
-        if eval_batches_fn is not None:
+        # Every process must reach save_checkpoint (orbax is collective) and
+        # must NOT diverge on jitted computations: periodic eval runs only
+        # single-process (its input pipeline is host-local; a process-0-only
+        # eval would launch SPMD programs the other processes never join —
+        # deadlock).  Multi-host runs eval separately via --mode eval.
+        if eval_batches_fn is not None and jax.process_count() == 1:
             t0 = time.time()
             metrics = run_evaluate(
                 cfg, state, eval_batches_fn(), tokenizer=tokenizer,
@@ -157,7 +164,10 @@ def run_training(
             writer.scalars(int(np.asarray(state.step)), metrics)
             print(f"step {int(np.asarray(state.step))}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
-        ckpt_mod.save_checkpoint(output_dir, state, cfg)
+        elif eval_batches_fn is not None and jax.process_index() == 0:
+            print("multi-host: periodic eval skipped (host-local pipeline); "
+                  "run --mode eval after training")
+        ckpt_mod.save_checkpoint(output_dir, state, cfg, backend=backend)
 
     import inspect
 
@@ -209,9 +219,11 @@ def run_training(
                     print(f"epoch {epoch} step {step}: "
                           f"loss={loss:.4f} ({sec_per_step:.3f}s/step)")
                 if preempted.is_set():
-                    # fast save (no eval — the grace window is short)
+                    # fast save (no eval — the grace window is short); all
+                    # processes participate (orbax saves are collective)
+                    path = ckpt_mod.save_checkpoint(
+                        output_dir, state, cfg, backend=backend)
                     if jax.process_index() == 0:
-                        path = ckpt_mod.save_checkpoint(output_dir, state, cfg)
                         print(f"preemption checkpoint written: {path}")
                     return state
                 if step % steps_per_checkpoint == 0:
@@ -221,6 +233,6 @@ def run_training(
     finally:
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
-        if own_writer:
+        if own_writer and writer is not None:
             writer.close()
     return state

@@ -218,3 +218,34 @@ def test_streaming_causal_mean_converges_to_offline_features():
                                rtol=1e-4, atol=1e-4)
     # early rows are causally normalized: close in scale, not exact
     assert np.max(np.abs(streamed[:n] - offline[:n])) < 1.0
+
+
+def test_streaming_flush_drains_tail():
+    """flush() must feed the held-back tail (sample/frame/stack remainders)
+    so the stream decodes at least as many frames as the offline frontend."""
+    from rnnt_tpu.ops import features as F
+
+    cfg = CFG.replace(sample_rate=16000)
+    rng = np.random.default_rng(5)
+    # deliberately awkward length: leaves sample+frame+stack remainders
+    audio = (rng.standard_normal(16000 + 777) * 0.1).astype(np.float32)
+
+    state, _, _, _ = _overfit_state(steps=1, tol=-1)
+    st = StreamingTranscriber(cfg, state.params, CharTokenizer())
+    fed = []
+    orig = st._run
+
+    def spy(params, mel, enc_state, carry):
+        fed.append(np.asarray(mel))
+        return orig(params, mel, enc_state, carry)
+
+    st._run = spy
+    for off in range(0, len(audio), 1600):
+        st.process_chunk(audio[off: off + 1600])
+    n_before = sum(len(f) for f in fed)
+    text = st.flush()
+    assert isinstance(text, str)
+    n_after = sum(len(f) for f in fed)
+    offline = len(np.asarray(F.preprocess_audio(jnp.asarray(audio), cfg)))
+    assert n_before < offline  # tail really was held back
+    assert n_after >= offline  # flush drained it (plus silence padding)
