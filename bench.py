@@ -81,6 +81,8 @@ def main():
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / V100_BASELINE_AUDIO_S_PER_S, 3),
+        "baseline": "V100 engineering estimate (~60 audio-s/s, reference "
+                    "publishes no numbers; see BASELINE.md)",
     }))
 
 

@@ -22,6 +22,10 @@ def main():
     p.add_argument("--token_type", default="word-piece",
                    choices=["word-piece", "character"])
     p.add_argument("--vocab_size", type=int, default=4096)
+    p.add_argument("--pad_vocab", action="store_true",
+                   help="pad the subword vocab with reserved unused ids up "
+                        "to --vocab_size (full-width joint softmax even on "
+                        "corpora whose BPE saturates early)")
     p.add_argument("--max_length", type=float, default=17.0)
     p.add_argument("--num_shards", type=int, default=8)
     args = p.parse_args()
@@ -34,6 +38,7 @@ def main():
 
     tok = get_tokenizer(
         args.output_dir, args.token_type, args.vocab_size,
+        pad_to_target=args.pad_vocab,
         corpus=common_voice.texts_generator(args.data_dir))  # train split only
     cfg = cfg.replace(vocab_size=tok.vocab_size)
     cfg.save(args.output_dir)

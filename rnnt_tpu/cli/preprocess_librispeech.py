@@ -31,6 +31,10 @@ def main():
     p.add_argument("--token_type", default="word-piece",
                    choices=["word-piece", "character"])
     p.add_argument("--vocab_size", type=int, default=4096)
+    p.add_argument("--pad_vocab", action="store_true",
+                   help="pad the subword vocab with reserved unused ids up "
+                        "to --vocab_size (full-width joint softmax even on "
+                        "corpora whose BPE saturates early)")
     p.add_argument("--max_length", type=float, default=17.0,
                    help="drop utterances longer than this many seconds "
                         "(preprocessing.py:264-266)")
@@ -45,6 +49,7 @@ def main():
 
     tok = get_tokenizer(
         args.output_dir, args.token_type, args.vocab_size,
+        pad_to_target=args.pad_vocab,
         corpus=librispeech.texts_generator(args.data_dir, args.train_splits))
     cfg = cfg.replace(vocab_size=tok.vocab_size)
     cfg.save(args.output_dir)

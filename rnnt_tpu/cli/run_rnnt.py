@@ -224,10 +224,15 @@ def main(argv=None):
                 print("eval/test requires --checkpoint (run_rnnt.py:550-551)")
                 sys.exit(1)
             split = "dev" if args.mode == "eval" else "test"
+            # loss_impl forwarded: eval at parity scale must not fall back to
+            # a lattice-materializing loss (~26 GB logits at B=32/T'=384/
+            # U+1=129/V=4096).  Metrics are aggregated across processes inside
+            # run_evaluate; every process participates, process 0 reports.
             metrics = run_evaluate(
                 cfg, state, batches(split)(), tokenizer=tokenizer,
-                decode=args.decode)
-            print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+                decode=args.decode, loss_impl=args.loss_impl)
+            if jax.process_index() == 0:
+                print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
 
     if args.profile_dir:
         jax.profiler.stop_trace()

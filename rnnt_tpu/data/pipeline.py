@@ -135,7 +135,10 @@ def bucket_batches(
     t_buckets, u_buckets = sorted(t_buckets), sorted(u_buckets)
     pending: Dict[Tuple[int, int], List[Dict]] = {}
     for ex in examples:
-        t, u = int(ex["spec_lengths"]), int(ex["label_lengths"])
+        # .item() (not int()): record deserialization yields 1-element arrays,
+        # and int() on those is a NumPy deprecation headed for an error
+        t = int(np.asarray(ex["spec_lengths"]).item())
+        u = int(np.asarray(ex["label_lengths"]).item())
         if t > t_buckets[-1] or u > u_buckets[-1]:
             if drop_oversize:
                 continue

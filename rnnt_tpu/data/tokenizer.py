@@ -102,7 +102,9 @@ class SubwordTokenizer:
         return out
 
     def decode(self, ids: Sequence[int]) -> str:
-        s = "".join(self.pieces[i] for i in ids if 0 < i < len(self.pieces))
+        s = "".join(self.pieces[i] for i in ids
+                    if 0 < i < len(self.pieces)
+                    and not self.pieces[i].startswith("\x00"))  # reserved pad
         return s.replace(WORD_MARK, " ").strip()
 
     # --- persistence (same sidecar contract as encoder.subwords) ---
@@ -141,6 +143,37 @@ class SubwordTokenizer:
         return os.path.exists(os.path.join(directory, filename))
 
     # --- training (the build_from_corpus equivalent, encoding.py:81-83) ---
+    #
+    # Merge selection is deterministic: highest pair count, ties broken by
+    # lexicographically smallest pair.  Both trainers below implement exactly
+    # this rule; tests pin them byte-identical.
+
+    @staticmethod
+    def _collect_words(corpus: Iterable[str]) -> collections.Counter:
+        word_counts: collections.Counter = collections.Counter()
+        for line in corpus:
+            for w in normalize_text(line).split():
+                word_counts[WORD_MARK + w] += 1
+        return word_counts
+
+    @staticmethod
+    def _finish_pieces(merges: List[str], alphabet: List[str],
+                       target_vocab_size: int, pad_to_target: bool) -> List[str]:
+        # Order: blank, merges (by creation = frequency order), then the
+        # single-character alphabet.  Truncation drops MERGES, never the
+        # alphabet — the any-input-is-encodable invariant must survive small
+        # --vocab_size on large alphabets.
+        keep_merges = max(0, target_vocab_size - 1 - len(alphabet))
+        pieces = [""] + merges[:keep_merges] + alphabet
+        if pad_to_target and len(pieces) < target_vocab_size:
+            # Reserved never-matching ids so vocab_size hits the requested
+            # target even on small corpora (a V=4096 joint at parity scale
+            # from a corpus whose BPE saturates earlier).  "\x00" cannot
+            # occur in normalized text, so greedy longest-match never
+            # produces these and decode() drops them.
+            pieces += [f"\x00unused{i}"
+                       for i in range(target_vocab_size - len(pieces))]
+        return pieces
 
     @classmethod
     def build_from_corpus(
@@ -148,16 +181,114 @@ class SubwordTokenizer:
         corpus: Iterable[str],
         target_vocab_size: int,
         max_subword_length: int = 20,
+        pad_to_target: bool = False,
     ) -> "SubwordTokenizer":
-        """Learn BPE merges from a text generator until the vocab is full."""
-        word_counts: collections.Counter = collections.Counter()
-        for line in corpus:
-            for w in normalize_text(line).split():
-                word_counts[WORD_MARK + w] += 1
+        """Learn BPE merges from a text generator until the vocab is full.
 
+        Incremental trainer: pair->count and pair->word-occurrence indices are
+        maintained per merge (a lazy max-heap selects the next merge), so cost
+        is O(corpus scan + merges x words-touched-per-merge) instead of the
+        O(merges x unique-words) full rescan per merge (tfds SubwordTextEncoder
+        territory, encoding.py:77-85) — a 4096-piece vocab over a 100k-word
+        vocabulary builds in seconds, not hours.
+        """
+        import heapq
+
+        word_counts = cls._collect_words(corpus)
         # Base alphabet: every character observed (guarantees encodability).
         alphabet = sorted({c for w in word_counts for c in w})
-        # words as tuples of symbols
+        words: List[List[str]] = [list(w) for w in word_counts]
+        counts: List[int] = list(word_counts.values())
+
+        def countable(p: Tuple[str, str]) -> bool:
+            return len(p[0]) + len(p[1]) <= max_subword_length
+
+        pair_counts: Dict[Tuple[str, str], int] = {}
+        pair_words: Dict[Tuple[str, str], set] = {}
+        for wi, sym in enumerate(words):
+            c = counts[wi]
+            for p in zip(sym, sym[1:]):
+                if countable(p):
+                    pair_counts[p] = pair_counts.get(p, 0) + c
+                    pair_words.setdefault(p, set()).add(wi)
+
+        # Lazy-deletion max-heap: every CURRENT count has a live entry (one is
+        # pushed on every count change); stale entries are skipped on pop.
+        heap = [(-c, p) for p, c in pair_counts.items()]
+        heapq.heapify(heap)
+
+        merges: List[str] = []
+        budget = target_vocab_size - 1 - len(alphabet)  # -1 for blank
+        while len(merges) < budget and heap:
+            negc, best = heapq.heappop(heap)
+            cur = pair_counts.get(best, 0)
+            if cur != -negc:
+                continue  # stale
+            if cur < 2:
+                break
+            a, b = best
+            new_sym = a + b
+            merges.append(new_sym)
+            for wi in list(pair_words.get(best, ())):
+                sym, c = words[wi], counts[wi]
+                out: List[str] = []
+                i = 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(new_sym)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                old_pairs = list(zip(sym, sym[1:]))
+                new_pairs = list(zip(out, out[1:]))
+                words[wi] = out
+                # count deltas (overlap-exact: multiset difference of the
+                # word's adjacent pairs before/after, scaled by word count)
+                delta: Dict[Tuple[str, str], int] = {}
+                for p in old_pairs:
+                    if countable(p):
+                        delta[p] = delta.get(p, 0) - c
+                for p in new_pairs:
+                    if countable(p):
+                        delta[p] = delta.get(p, 0) + c
+                for p, d in delta.items():
+                    if d == 0:
+                        continue
+                    nc = pair_counts.get(p, 0) + d
+                    if nc <= 0:
+                        pair_counts.pop(p, None)
+                    else:
+                        pair_counts[p] = nc
+                        heapq.heappush(heap, (-nc, p))
+                # occurrence-index deltas
+                old_set = {p for p in old_pairs if countable(p)}
+                new_set = {p for p in new_pairs if countable(p)}
+                for p in old_set - new_set:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                for p in new_set - old_set:
+                    pair_words.setdefault(p, set()).add(wi)
+            pair_counts.pop(best, None)
+            pair_words.pop(best, None)
+
+        return cls(cls._finish_pieces(merges, alphabet, target_vocab_size,
+                                      pad_to_target))
+
+    @classmethod
+    def _build_from_corpus_rescan(
+        cls,
+        corpus: Iterable[str],
+        target_vocab_size: int,
+        max_subword_length: int = 20,
+        pad_to_target: bool = False,
+    ) -> "SubwordTokenizer":
+        """Reference trainer: full pair-count rescan per merge.  O(merges x
+        unique-words) — kept as the correctness oracle for the incremental
+        trainer (tests pin byte-identical pieces)."""
+        word_counts = cls._collect_words(corpus)
+        alphabet = sorted({c for w in word_counts for c in w})
         words: Dict[Tuple[str, ...], int] = {
             tuple(w): c for w, c in word_counts.items()
         }
@@ -172,7 +303,8 @@ class SubwordTokenizer:
                         pair_counts[(a, b)] += cnt
             if not pair_counts:
                 break
-            (a, b), cnt = pair_counts.most_common(1)[0]
+            (a, b), cnt = min(pair_counts.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
             if cnt < 2:
                 break
             new_sym = a + b
@@ -191,13 +323,8 @@ class SubwordTokenizer:
                 merged[tuple(out)] = merged.get(tuple(out), 0) + c
             words = merged
 
-        # Order: blank, merges (by creation = frequency order), then the
-        # single-character alphabet.  Truncation drops MERGES, never the
-        # alphabet — the any-input-is-encodable invariant must survive small
-        # --vocab_size on large alphabets.
-        keep_merges = max(0, target_vocab_size - 1 - len(alphabet))
-        pieces = [""] + merges[:keep_merges] + alphabet
-        return cls(pieces)
+        return cls(cls._finish_pieces(merges, alphabet, target_vocab_size,
+                                      pad_to_target))
 
 
 def get_tokenizer(
@@ -205,6 +332,7 @@ def get_tokenizer(
     token_type: str,
     vocab_size: int,
     corpus: Optional[Iterable[str]] = None,
+    pad_to_target: bool = False,
 ):
     """Build-or-load, mirroring get_encoder (encoding.py:51-92): load the
     persisted tokenizer from `directory` if present, else train from `corpus`
@@ -217,7 +345,8 @@ def get_tokenizer(
         if corpus is None:
             raise FileNotFoundError(
                 f"no {SUBWORD_FILENAME} in {directory} and no corpus given")
-        tok = SubwordTokenizer.build_from_corpus(corpus, vocab_size)
+        tok = SubwordTokenizer.build_from_corpus(
+            corpus, vocab_size, pad_to_target=pad_to_target)
         tok.save(directory)
         return tok
     raise ValueError(f"unknown token_type {token_type!r}")

@@ -19,9 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rnnt_tpu.config import RNNTConfig
-from rnnt_tpu.metrics import accuracy as accuracy_fn
-from rnnt_tpu.metrics import cer as cer_fn
-from rnnt_tpu.metrics import wer as wer_fn
+from rnnt_tpu.metrics import error_rate
 from rnnt_tpu.models.transducer import Transducer
 from rnnt_tpu.train import checkpoint as ckpt_mod
 from rnnt_tpu.train import observe
@@ -68,12 +66,19 @@ def run_evaluate(
     decode_metrics: bool = True,
     max_batches: int = 0,
     decode: str = "greedy",
+    loss_impl: str = "fused",
 ) -> Dict[str, float]:
     """Evaluate loss (+ decode accuracy/CER/WER) over a dataset.
 
     decode: "greedy" (default, ref parity) or "beam" (BASELINE config #3 —
-    beam-search WER vs greedy)."""
-    eval_step = eval_step or make_eval_step(cfg)
+    beam-search WER vs greedy).
+
+    loss_impl defaults to "fused": standalone eval must never fall back to a
+    lattice-materializing loss — at parity geometry (B=32, T'=384, U+1=129,
+    V=4096) the [B,T,U+1,V] logits are ~26 GB fp32, dead on one chip.  The
+    reference evals with the same kernel it trains with (run_rnnt.py:380-441).
+    """
+    eval_step = eval_step or make_eval_step(cfg, loss_impl=loss_impl)
 
     losses, n = [], 0
     refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
@@ -105,12 +110,35 @@ def run_evaluate(
         if max_batches and n >= max_batches:
             break
 
-    out = {"eval_loss": float(np.mean(losses)) if losses else float("nan")}
+    # Local sufficient statistics: [loss_sum, loss_n, tok_rate_sum, n_utt,
+    # wer_rate_sum, cer_rate_sum, n_txt].  Means are taken after the (optional)
+    # cross-process reduction so every host reports metrics over the WHOLE
+    # dataset, not its own shard subset (the reference's run_evaluate
+    # aggregates over the full dataset, run_rnnt.py:425-441).
+    stats = np.zeros(7, np.float64)
+    stats[0], stats[1] = float(np.sum(losses)), len(losses)
     if decode_metrics and refs_tok:
-        out["eval_accuracy"] = accuracy_fn(refs_tok, hyps_tok)
+        stats[2] = sum(error_rate(r, h) for r, h in zip(refs_tok, hyps_tok))
+        stats[3] = len(refs_tok)
         if refs_txt:
-            out["eval_wer"] = wer_fn(refs_txt, hyps_txt)
-            out["eval_cer"] = cer_fn(refs_txt, hyps_txt)
+            stats[4] = sum(error_rate(r.split(), h.split())
+                           for r, h in zip(refs_txt, hyps_txt))
+            stats[5] = sum(error_rate(list(r), list(h))
+                           for r, h in zip(refs_txt, hyps_txt))
+            stats[6] = len(refs_txt)
+    if jax.process_count() > 1:
+        # one tiny collective; every process must reach this point exactly once
+        from jax.experimental import multihost_utils
+
+        stats = np.asarray(
+            multihost_utils.process_allgather(stats)).sum(axis=0)
+
+    out = {"eval_loss": float(stats[0] / stats[1]) if stats[1] else float("nan")}
+    if decode_metrics and stats[3]:
+        out["eval_accuracy"] = 1.0 - float(stats[2] / stats[3])
+        if stats[6]:
+            out["eval_wer"] = float(stats[4] / stats[6])
+            out["eval_cer"] = float(stats[5] / stats[6])
     return out
 
 

@@ -18,6 +18,9 @@ from rnnt_tpu.ops.beam_pallas import beam_search_encoded_pallas
 
 from tests.test_beam_stream_ckpt import CFG, _overfit_state
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
+
 
 def _parity(model, params, enc, enc_lens, K, L, V, E=1):
     # merge_duplicates=False: the kernel keeps per-alignment copies, so the

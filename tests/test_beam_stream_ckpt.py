@@ -1,6 +1,7 @@
 """Beam search, streaming transcriber, checkpoint resume, quantization."""
 
 import os
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,9 @@ from rnnt_tpu.ops.quantize import (
 from rnnt_tpu.train import checkpoint as ckpt_mod
 from rnnt_tpu.train.state import create_train_state
 from rnnt_tpu.train.steps import make_train_step
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
 
 CFG = tiny_config(
     vocab_size=8, encoder_layers=2, encoder_size=24, projection_size=16,

@@ -13,6 +13,9 @@ import pytest
 
 from rnnt_tpu.data.audio_io import write_wav
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
+
 WORDS = ["ab", "cd", "ef"]
 
 
@@ -119,3 +122,28 @@ def test_debug_dataset_cli(data_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "All checks passed" in out
     assert os.path.exists(str(tmp_path / "plots" / "spec_0.png"))
+
+
+def test_run_rnnt_eval_cli_forwards_loss_impl(data_dir, run_dir):
+    """--loss_impl travels into run_evaluate (round-1 hazard: eval parsed the
+    flag but dropped it, silently falling back to the lattice-materializing
+    loss — OOM at parity geometry)."""
+    from rnnt_tpu.cli import run_rnnt
+    from rnnt_tpu.train import loop as loop_mod
+
+    seen = {}
+    real = loop_mod.run_evaluate
+
+    def spy(*a, **k):
+        seen["loss_impl"] = k.get("loss_impl")
+        return real(*a, **k)
+
+    loop_mod.run_evaluate = spy
+    try:
+        run_rnnt.main(["--mode", "test", "--data_dir", str(data_dir),
+                       "--output_dir", str(run_dir),
+                       "--checkpoint", str(run_dir), "--batch_size", "8",
+                       "--loss_impl", "fused", "--no-bf16"])
+    finally:
+        loop_mod.run_evaluate = real
+    assert seen["loss_impl"] == "fused"

@@ -1,6 +1,7 @@
 """Greedy decoding: blank behaviour, streaming-chunk equivalence, overfit E2E."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,7 @@ def test_streaming_chunked_equals_full():
         np.testing.assert_array_equal(per_b[i], full_i)
 
 
+@pytest.mark.slow
 def test_overfit_decode_roundtrip():
     """Train to overfit one tiny batch; greedy decode must reproduce the
     training transcripts (SURVEY.md §4 integration test)."""
@@ -117,6 +119,7 @@ def test_overfit_decode_roundtrip():
             np.testing.assert_array_equal(got, np.asarray(labels[i]))
 
 
+@pytest.mark.slow
 def test_transcribe_file_cli_multi(tmp_path):
     """End-to-end CLI: checkpoint + WAVs -> batched transcripts (single file
     keeps the reference's bare-text stdout contract; multi prints path\\ttext)."""

@@ -3,6 +3,7 @@ replacement for the reference's broken TFLite export (quantize_model.py,
 SURVEY.md §2.5 quirk 1): serialize -> deserialize -> numerical parity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def test_transcribe_artifact_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
 
 
+@pytest.mark.slow
 def test_streaming_artifact_matches_live_chunked_decode(tmp_path):
     """Chunk-by-chunk through the deserialized step == the live (in-process)
     chunked decode: serialization fidelity of tokens, encoder state, and

@@ -14,6 +14,9 @@ from rnnt_tpu.config import tiny_config
 from rnnt_tpu.ops.joint_loss_banded import rnnt_loss_banded
 from rnnt_tpu.ops.joint_loss_fused import rnnt_loss_fused
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
+
 
 def _problem(B=4, T=40, U=20, J=16, V=24, seed=1):
     rng = np.random.default_rng(seed)

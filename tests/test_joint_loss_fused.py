@@ -13,6 +13,9 @@ from rnnt_tpu.ops.joint_loss_fused import (
 from rnnt_tpu.train.state import create_train_state
 from rnnt_tpu.train.steps import make_train_step
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
+
 
 def _case(seed, B, T, U, P, J, V):
     rng = np.random.default_rng(seed)

@@ -1,6 +1,7 @@
 """Pallas LSTM sequence kernels vs the scan implementation (interpret mode)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,7 @@ def test_forward_nonzero_state():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_scan():
     params, x, state = _setup(5)
 

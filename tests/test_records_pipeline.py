@@ -58,8 +58,8 @@ def test_host_disjoint_shards(tmp_path):
     b = list(records.read_shards(str(tmp_path / "s-*.rnr"),
                                  process_index=1, process_count=2))
     assert len(a) + len(b) == 6
-    lens_a = {int(e["spec_lengths"]) for e in a}
-    lens_b = {int(e["spec_lengths"]) for e in b}
+    lens_a = {int(np.asarray(e["spec_lengths"]).item()) for e in a}
+    lens_b = {int(np.asarray(e["spec_lengths"]).item()) for e in b}
     assert not (lens_a & lens_b)
 
 

@@ -72,7 +72,11 @@ def test_blank_only():
     np.testing.assert_allclose(np.asarray(loss)[0], expected, rtol=1e-5)
 
 
-@pytest.mark.parametrize("T,U,V", [(2, 1, 3), (3, 2, 4), (4, 3, 5), (5, 2, 6)])
+@pytest.mark.parametrize("T,U,V", [
+    (2, 1, 3),
+    pytest.param(3, 2, 4, marks=pytest.mark.slow),
+    pytest.param(4, 3, 5, marks=pytest.mark.slow),
+    pytest.param(5, 2, 6, marks=pytest.mark.slow)])
 def test_brute_force_enumeration(T, U, V):
     rng = np.random.default_rng(T * 100 + U * 10 + V)
     logits = rng.standard_normal((1, T, U + 1, V)).astype(np.float32)
@@ -85,7 +89,10 @@ def test_brute_force_enumeration(T, U, V):
     np.testing.assert_allclose(np.asarray(loss)[0], expected, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("B,T,U,V", [(3, 8, 5, 11), (4, 12, 7, 6), (2, 20, 10, 32)])
+@pytest.mark.parametrize("B,T,U,V", [
+    (3, 8, 5, 11),
+    pytest.param(4, 12, 7, 6, marks=pytest.mark.slow),
+    pytest.param(2, 20, 10, 32, marks=pytest.mark.slow)])
 def test_vs_numpy_dp(B, T, U, V):
     rng = np.random.default_rng(B * 1000 + T)
     logits, labels, fl, yl = _rand_case(rng, B, T, U, V)
@@ -96,6 +103,7 @@ def test_vs_numpy_dp(B, T, U, V):
     np.testing.assert_allclose(np.asarray(loss), expected, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_padding_invariance():
     """Extra padded frames/labels beyond the lengths must not change the loss."""
     rng = np.random.default_rng(7)
@@ -117,6 +125,7 @@ def test_padding_invariance():
     np.testing.assert_allclose(base, padded, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradient_vs_autodiff():
     """The analytic custom_vjp gradient == differentiating through the scans.
 
@@ -173,6 +182,7 @@ def test_gradient_zero_outside_valid_region():
     np.testing.assert_allclose(g[0, :3, :3].sum(-1), 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bfloat16_logits():
     rng = np.random.default_rng(11)
     B, T, U, V = 2, 6, 4, 8

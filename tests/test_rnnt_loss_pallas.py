@@ -9,6 +9,9 @@ import pytest
 import rnnt_tpu.ops.rnnt_loss_ref as ref
 from rnnt_tpu.ops.rnnt_loss_pallas import lattice_scan_pallas, rnnt_loss_pallas
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected by default (see pyproject)
+
+
 
 def _case(seed, B, T, U, V, vary=True):
     rng = np.random.default_rng(seed)

@@ -38,7 +38,10 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("data,model,impl", [
-    (8, 1, "ref"), (4, 2, "ref"), (8, 1, "fused"), (8, 1, "banded")])
+    pytest.param(8, 1, "ref", marks=pytest.mark.slow),
+    pytest.param(4, 2, "ref", marks=pytest.mark.slow),
+    (8, 1, "fused"),
+    pytest.param(8, 1, "banded", marks=pytest.mark.slow)])
 def test_sharded_train_step_matches_single_device(data, model, impl):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     step_fn = make_train_step(CFG, loss_impl=impl, donate=False)
@@ -73,6 +76,7 @@ def test_sharded_train_step_matches_single_device(data, model, impl):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
 def test_sharded_decode_matches_single_device(data, model):
     """Beam/greedy decode under a mesh: per-utterance beam state shards on

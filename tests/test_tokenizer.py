@@ -1,6 +1,7 @@
 """Tokenizer round-trips, persistence, and metric correctness."""
 
 import numpy as np
+import pytest
 
 from rnnt_tpu.data.tokenizer import (
     CharTokenizer, SubwordTokenizer, get_tokenizer, normalize_text)
@@ -114,3 +115,60 @@ def test_subword_truncation_keeps_alphabet():
     for ch in alphabet:
         assert ch in tok.pieces, f"alphabet char {ch!r} was truncated"
     assert tok.decode(tok.encode("zebra qux")) == "zebra qux".replace("z","z")
+
+
+def test_incremental_bpe_matches_rescan_oracle():
+    """The incremental trainer (pair-count/occurrence indices + lazy heap)
+    must be byte-identical to the full-rescan reference trainer."""
+    import numpy as np
+
+    a = SubwordTokenizer.build_from_corpus(CORPUS, 80)
+    b = SubwordTokenizer._build_from_corpus_rescan(CORPUS, 80)
+    assert a.pieces == b.pieces
+
+    rng = np.random.default_rng(7)
+    letters = list("abcdefghij")
+    words = ["".join(rng.choice(letters, rng.integers(2, 9)))
+             for _ in range(600)]
+    corpus = [" ".join(rng.choice(words, 8)) for _ in range(300)]
+    a = SubwordTokenizer.build_from_corpus(corpus, 256)
+    b = SubwordTokenizer._build_from_corpus_rescan(corpus, 256)
+    assert a.pieces == b.pieces
+
+
+@pytest.mark.slow
+def test_incremental_bpe_100k_words_under_a_minute():
+    """4096-piece vocab from a >=100k-unique-word corpus in well under a
+    minute (the rescan trainer needs hours at this scale)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    alpha = list("abcdefghijklmnopqrstuvwxyz")
+    words = set()
+    while len(words) < 100_000:
+        words.add("".join(rng.choice(alpha, rng.integers(3, 12))))
+    words = sorted(words)
+    zipf = rng.zipf(1.3, 300_000)
+    zipf = zipf[zipf <= len(words)] - 1
+    corpus = [" ".join(words[i] for i in zipf[k:k + 10])
+              for k in range(0, len(zipf) - 10, 10)]
+    t0 = time.time()
+    tok = SubwordTokenizer.build_from_corpus(corpus, 4096)
+    dt = time.time() - t0
+    assert tok.vocab_size == 4096
+    assert dt < 60, f"BPE build took {dt:.1f}s"
+    # round-trips still hold at scale
+    assert tok.decode(tok.encode(corpus[0])) == corpus[0]
+
+
+def test_pad_vocab_to_target():
+    """pad_to_target fills the vocab with reserved ids: full requested width
+    for the joint softmax, but never encodable/decodable."""
+    tok = SubwordTokenizer.build_from_corpus(CORPUS, 512, pad_to_target=True)
+    assert tok.vocab_size == 512
+    ids = tok.encode("hello world")
+    assert all(not tok.pieces[i].startswith("\x00") for i in ids)
+    # decode drops reserved ids instead of leaking sentinel text
+    assert tok.decode(list(ids) + [511]) == tok.decode(ids)

@@ -169,3 +169,33 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_run_evaluate_defaults_to_fused_loss(monkeypatch):
+    """Standalone eval must take the fused (lattice-free) loss path by
+    default — round-1 hazard: run_evaluate without an explicit eval_step fell
+    back to loss_impl="auto", materializing [B,T,U+1,V] logits (~26 GB fp32
+    at parity geometry, OOM on one chip).  Ref contract: eval runs the same
+    kernel training does (run_rnnt.py:380-441)."""
+    from rnnt_tpu.ops import joint_loss_fused
+    from rnnt_tpu.train import steps as steps_mod
+
+    calls = {"fused": 0}
+    real_fused = joint_loss_fused.transducer_loss_fused
+
+    def spy_fused(*a, **k):
+        calls["fused"] += 1
+        return real_fused(*a, **k)
+
+    def forbid_materialized(*a, **k):
+        raise AssertionError(
+            "lattice-materializing rnnt_loss reached from the eval path")
+
+    monkeypatch.setattr(joint_loss_fused, "transducer_loss_fused", spy_fused)
+    monkeypatch.setattr(steps_mod, "rnnt_loss", forbid_materialized)
+
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    metrics = run_evaluate(CFG, state, iter(_batches(n=1)),
+                           decode_metrics=False)
+    assert calls["fused"] >= 1
+    assert np.isfinite(metrics["eval_loss"])

@@ -4,6 +4,7 @@
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_eval_step_runs():
     assert m["nll"].shape == (4,)
 
 
+@pytest.mark.slow
 def test_loss_weight_masks_fillers():
     """Filler rows (loss_weight 0) contribute neither loss nor gradient."""
     from rnnt_tpu.train.steps import batch_loss
