@@ -12,19 +12,22 @@ transducer beam search with a per-frame expansion cap (the torchaudio-style
                      pool (they settle at this expansion depth)
       label moves  : top-K over K x Vk label expansions -> new `expanding`
                      (tokens appended, pred-net state advanced)
-  force-settle the remaining expanding hyps with one blank move;
-  new beam = top-K over the (expansions+1) x K pooled blank-settled
-  candidates (one merge per frame — equivalent to merging every expansion,
-  since settled scores never change).
+  after each expansion the blank-settled advanced set folds into a running
+  settled pool (prefix-merge, then top-K over the 2K union); the pool after
+  the last expansion is the new beam.
 
 Hypotheses that reach the same prefix along different alignments are
-logaddexp-merged in the frame-end pool (merge_duplicates=True, the Graves
-2012 semantics): a prefix's probability is the SUM over its alignments, and
-keeping fragmented per-alignment copies biases the search toward short
-prefixes (fewer alignments each).  On the synthetic-corpus checkpoint at
-expansions_per_frame=3 merging improves WER 0.151 -> 0.137; the dominant
-knob though is expansions_per_frame itself (at 6: WER 0.061 vs greedy
-0.090 — it must cover the model's per-frame emission burstiness).
+logaddexp-merged into the settled pool (merge_duplicates=True, the default —
+the Graves 2012 semantics): a prefix's probability is the SUM over its
+alignments, and keeping fragmented per-alignment copies biases the search
+toward short prefixes (fewer alignments each).  The merge is incremental
+(per expansion, matching ops/beam_pallas.py exactly so both backends give
+one answer) rather than one pass over the frame-end pool; the two differ
+only when a merged prefix is evicted mid-frame and re-enters later — not
+observed to matter on the synthetic corpus, where merging improves WER
+0.151 -> 0.137 at expansions_per_frame=3.  The dominant knob though is
+expansions_per_frame itself (at 6: WER 0.061 vs greedy 0.090 — it must
+cover the model's per-frame emission burstiness).
 
 TPU-first layout: hypotheses are a [B, K, ...] SoA pytree; every joint/pred
 step is one batched matmul over B*K cells; selection is `jax.lax.top_k`.
@@ -74,26 +77,34 @@ def _top_k_beam(beam: Beam, k: int) -> Beam:
                 rest.pred_state)
 
 
-def _merge_duplicate_scores(pool: Beam) -> jnp.ndarray:
-    """logaddexp scores of pool entries holding the same token prefix.
+def _merge_adv_into_settled(settled: Beam, adv: Beam):
+    """logaddexp-merge advanced (blank-settled) hypotheses into the settled
+    pool where both hold the same token prefix.
 
-    The merged (true prefix) probability lands on the FIRST copy in pool
-    order; later copies drop to NEG so top-k keeps each prefix once.  Token
-    positions >= length are masked (buffers can differ there after a
-    length-capped write).  Dead NEG entries contribute exp(NEG) ~ 0.
+    Returns (settled scores with merged mass, adv scores with merged copies
+    killed to NEG).  Token positions >= length are masked (buffers can differ
+    there after a length-capped write); dead NEG entries never merge.  Both
+    pools are internally duplicate-free (children of distinct live prefixes
+    are distinct; the settled pool is maintained merged), so the match is a
+    partial matching: each adv row merges into at most one settled row.
+    The settled copy survives — its pred-net state is a function of the token
+    prefix alone, so it equals the killed adv copy's state.
     """
-    B, P, L = pool.tokens.shape
-    li = pool.lengths                                     # [B, P]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, P, P, L), 3)
-    neq = (pool.tokens[:, :, None, :] != pool.tokens[:, None, :, :])
-    neq &= pos < li[:, :, None, None]
-    eq = (li[:, :, None] == li[:, None, :]) & ~jnp.any(neq, -1)  # [B, P, P]
+    B, K, L = settled.tokens.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, K, K, L), 3)
+    neq = settled.tokens[:, :, None, :] != adv.tokens[:, None, :, :]
+    neq &= pos < settled.lengths[:, :, None, None]
+    eq = (settled.lengths[:, :, None] == adv.lengths[:, None, :]) \
+        & ~jnp.any(neq, -1)                               # [B, Ks, Ka]
+    eq &= (settled.scores > NEG / 2)[:, :, None]
+    eq &= (adv.scores > NEG / 2)[:, None, :]
 
-    scm = jnp.where(eq, pool.scores[:, None, :], NEG)     # [B, Pi, Pj]
-    m = jnp.max(scm, -1)
-    merged = m + jnp.log(jnp.sum(jnp.exp(scm - m[..., None]), -1))
-    canonical = jnp.argmax(eq, -1) == jnp.arange(P)[None, :]
-    return jnp.where(canonical, merged, NEG)
+    add = jnp.where(eq, adv.scores[:, None, :], NEG)      # [B, Ks, Ka]
+    m = jnp.max(add, -1)                                  # <=1 match per row
+    merged = jnp.where(m > NEG / 2, jnp.logaddexp(settled.scores, m),
+                       settled.scores)
+    killed = jnp.where(jnp.any(eq, axis=1), NEG, adv.scores)
+    return merged, killed
 
 
 def beam_search_encoded(
@@ -145,27 +156,24 @@ def beam_search_encoded(
 
     def frame_body(t, beam: Beam) -> Beam:
         # The expansion loop is PYTHON-unrolled (expansions_per_frame is
-        # static) and the settled-pool merge deferred to ONE top-k over all
-        # (epf+1)*K blank-settled candidates at frame end — identical result
-        # (blanked scores never change once settled, so iterated top-k ==
-        # one top-k of the union), but it keeps the device while-loop carry
-        # to the Beam leaves only.  A nested lax.scan carrying
+        # static); the settled pool is folded incrementally — after each
+        # expansion, the blank-settled advanced set is (optionally) prefix-
+        # merged into it and the union re-top-K'd.  Settled scores never
+        # change except by logaddexp merges, so without merging this equals
+        # one top-k over the whole (epf+1)*K pool; with merging it is the
+        # EXACT algorithm the Pallas kernel runs (ops/beam_pallas.py), so
+        # the two backends stay bit-comparable.  A nested lax.scan carrying
         # (expanding, settled) cost ~20us per carry leaf per iteration on
-        # the device loop — 3x the actual pred-net+joint compute.
+        # the device loop — 3x the actual pred-net+joint compute — hence the
+        # unroll; the carry stays Beam-leaves-only.
         enc_t = encoded[:, t, :]
         frame_valid = (t < enc_lengths)  # [B]
 
         expanding = beam
-        candidates = []  # blank-settled candidate pools, each [B, K, ...]
-        for e in range(expansions_per_frame + 1):
-            logp = blank_lp_of(expanding, enc_t)          # [B, K, V]
-
-            # blank moves -> candidate pool (settled at this expansion depth)
-            candidates.append(expanding._replace(
-                scores=expanding.scores + logp[..., 0]))
-            if e == expansions_per_frame:
-                break
-
+        logp = blank_lp_of(expanding, enc_t)              # [B, K, V]
+        # settle the current beam in place (blank move, state unchanged)
+        settled = expanding._replace(scores=expanding.scores + logp[..., 0])
+        for _ in range(expansions_per_frame):
             # label moves -> next expanding set
             lab_lp, lab_ids = jax.lax.top_k(logp[..., 1:], Vk)  # [B, K, Vk]
             lab_ids = lab_ids + 1
@@ -190,12 +198,16 @@ def beam_search_encoded(
             expanding = Beam(top_scores, tokens, lengths,
                              adv_out.reshape(B, K, P), unflat(adv_state))
 
-        pool = candidates[0]
-        for c in candidates[1:]:
-            pool = _concat(pool, c)
-        if merge_duplicates:
-            pool = pool._replace(scores=_merge_duplicate_scores(pool))
-        new_beam = _top_k_beam(pool, K)
+            # blank-settle the advanced set, merge into the pool
+            logp = blank_lp_of(expanding, enc_t)
+            blanked = expanding._replace(
+                scores=expanding.scores + logp[..., 0])
+            if merge_duplicates:
+                s_sc, a_sc = _merge_adv_into_settled(settled, blanked)
+                settled = settled._replace(scores=s_sc)
+                blanked = blanked._replace(scores=a_sc)
+            settled = _top_k_beam(_concat(settled, blanked), K)
+        new_beam = settled
 
         # frames beyond this utterance's length: keep the old beam
         def keep_old(new, old):
@@ -229,7 +241,10 @@ def beam_search_decode(
     impl: "xla" (this module), "pallas" (ops.beam_pallas — the whole
     search as one on-chip kernel; 36 ms vs 168 ms for the XLA loop at
     beam-4/E=1/B=64/T'=128 parity config on v5e, cost linear in E), or
-    "auto" (pallas on TPU, xla elsewhere)."""
+    "auto" (pallas on TPU, xla elsewhere).
+
+    merge_duplicates defaults to True on BOTH backends (one search
+    semantics everywhere; the kernel merges in-kernel)."""
     B, T, _ = mel_specs.shape
     if spec_lengths is None:
         spec_lengths = jnp.full((B,), T, jnp.int32)
@@ -237,23 +252,21 @@ def beam_search_decode(
     enc_lengths = model.encoded_length(spec_lengths)
     if expansions_per_frame is None:
         expansions_per_frame = min(model.cfg.max_symbols_per_frame, 6)
+    if merge_duplicates is None:
+        merge_duplicates = True
 
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if merge_duplicates and impl == "pallas":
-        # the on-chip kernel's contract is merge_duplicates=False
-        # (ops/beam_pallas.py); merged semantics need the XLA search
-        impl = "xla"
     if impl == "pallas":
         from rnnt_tpu.ops.beam_pallas import beam_search_encoded_pallas
 
         return beam_search_encoded_pallas(
             model, params, encoded, enc_lengths, beam_width=beam_width,
             max_output_length=max_output_length,
-            expansions_per_frame=expansions_per_frame)
-    kw = {} if merge_duplicates is None else {
-        "merge_duplicates": merge_duplicates}
+            expansions_per_frame=expansions_per_frame,
+            merge_duplicates=merge_duplicates)
     return beam_search_encoded(
         model, params, encoded, enc_lengths, beam_width=beam_width,
         max_output_length=max_output_length,
-        expansions_per_frame=expansions_per_frame, **kw)
+        expansions_per_frame=expansions_per_frame,
+        merge_duplicates=merge_duplicates)

@@ -26,8 +26,9 @@ This kernel runs the ENTIRE search on-chip in one launch:
 
 Algorithm: "modified" breadth-first transducer beam search with a static
 number E of label expansions per frame (equals decode/beam.py:
-beam_search_encoded with expansions_per_frame=E, prune_vocab >= beam_width,
-merge_duplicates=False).  Per frame:
+beam_search_encoded with expansions_per_frame=E, prune_vocab >= beam_width —
+including the incremental duplicate-prefix merge, merge_duplicates=True
+default on both backends).  Per frame:
 
   expanding = beam; logp = log_softmax(joint(enc_t, expanding))   # [N, V]
   settled   = expanding scores + blank logp            # settle in place
@@ -35,10 +36,13 @@ merge_duplicates=False).  Per frame:
       labels    = top-K over each utterance's K x V extensions of
                   `expanding`; append token, advance pred net
       logp      = joint logp of the advanced set
-      settled   = top-K over settled ∪ (advanced + blank logp)
-                  (incremental merge — equivalent to one top-k over the
-                  (E+1)K union since settled scores never change, but keeps
-                  only 2 state sets live in VMEM regardless of E)
+      advanced  = expanding + blank logp               # blank-settled copy
+      merge     = logaddexp advanced rows whose token prefix equals a
+                  settled row into that row (Graves 2012: prefix prob sums
+                  over alignments), kill the advanced copy
+      settled   = top-K over settled ∪ advanced
+                  (incremental fold — keeps only 2 state sets live in VMEM
+                  regardless of E)
   beam = settled
 
 E must cover the model's emission burstiness: with small subword vocabs a
@@ -154,7 +158,7 @@ def _group_topk(vals, K: int, row_idx, base_col):
     return out_sc, out_row, out_lane
 
 
-def _beam_kernel(*refs, n_layers, Bt, K, L, Vp, nT, dt, E):
+def _beam_kernel(*refs, n_layers, Bt, K, L, Vp, nT, dt, E, merge):
     """One grid step = one encoder frame for one B-block.
 
     Ref order: enc, enc_len, init_scores, init_pred,
@@ -276,6 +280,41 @@ def _beam_kernel(*refs, n_layers, Bt, K, L, Vp, nT, dt, E):
         # (dead frames keep the old pool: mrow=self, mlane=0)
         logp = joint_logp(pred_adv)
         blanked_sc = wsc + logp[:, 0:1]
+
+        if merge:
+            # ---- prefix-merge the advanced set into the settled pool ----
+            # (Graves 2012: a prefix's probability sums over its alignments;
+            # identical algorithm to decode/beam.py _merge_adv_into_settled.)
+            # Settled and advanced pools are each internally duplicate-free,
+            # so each advanced row matches at most one settled row of its
+            # utterance.  Pairwise row comparison across the K-row group is
+            # a sublane roll (settled row n vs advanced row n+s), valid
+            # while slot n%K + s stays inside the group; the merged mass
+            # lands on the settled copy and the advanced copy is killed.
+            sl_sc = sc_scores[...]
+            sl_len = sc_len[...]
+            sl_tok = sc_tokens[...]
+            slot = row_idx - base_col
+            merged_sc = sl_sc
+            kill = jnp.zeros((N, 1), jnp.int32)
+            for s in range(-(K - 1), K):
+                sh = (N - s) % N
+                r_tok = pltpu.roll(tok_adv, sh, axis=0)   # row n -> adv[n+s]
+                r_len = pltpu.roll(len_adv, sh, axis=0)
+                r_sc = pltpu.roll(blanked_sc, sh, axis=0)
+                eq = (slot + s >= 0) & (slot + s < K)
+                eq &= r_len == sl_len
+                eq &= jnp.all(jnp.where(l_iota < sl_len, r_tok == sl_tok,
+                                        True), axis=1, keepdims=True)
+                eq &= (sl_sc > NEG / 2) & (r_sc > NEG / 2) & alive
+                mx = jnp.maximum(merged_sc, r_sc)
+                mn = jnp.minimum(merged_sc, r_sc)
+                merged_sc = jnp.where(
+                    eq, mx + jnp.log1p(jnp.exp(mn - mx)), merged_sc)
+                kill |= pltpu.roll(eq.astype(jnp.int32), s % N, axis=0)
+            sc_scores[...] = merged_sc
+            blanked_sc = jnp.where(kill > 0, NEG, blanked_sc)
+
         pool = jnp.concatenate([sc_scores[...], blanked_sc], 1)  # [N, 2]
         msc, mrow, mlane = _group_topk(pool, K, row_idx, base_col)
         msc = jnp.where(alive, msc, sc_scores[...])
@@ -312,13 +351,15 @@ def beam_search_encoded_pallas(
     beam_width: int = 4,
     max_output_length: int = 200,
     expansions_per_frame: int = 1,
+    merge_duplicates: bool = True,
     interpret=None,
 ):
     """On-chip beam search from encoder activations.
 
     Returns (best tokens [B, L], best lengths [B], beam scores [B, K]) —
-    same contract as decode.beam.beam_search_encoded (with
-    merge_duplicates=False; see module docstring on expansions_per_frame).
+    same contract (including the incremental duplicate-prefix merge,
+    merge_duplicates=True default) as decode.beam.beam_search_encoded;
+    see module docstring on expansions_per_frame.
     """
     cfg = model.cfg
     dt = params["joint"]["w1"].dtype
@@ -381,7 +422,7 @@ def beam_search_encoded_pallas(
 
     kernel = functools.partial(
         _beam_kernel, n_layers=n_layers, Bt=Bt, K=K, L=L, Vp=Vp, nT=T, dt=dt,
-        E=expansions_per_frame)
+        E=expansions_per_frame, merge=merge_duplicates)
 
     const = lambda shape: pl.BlockSpec(  # noqa: E731  (fetched once)
         shape, lambda ib, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)

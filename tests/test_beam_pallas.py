@@ -22,15 +22,16 @@ pytestmark = pytest.mark.slow  # interpret-mode Pallas / CLI E2E — deselected 
 
 
 
-def _parity(model, params, enc, enc_lens, K, L, V, E=1):
-    # merge_duplicates=False: the kernel keeps per-alignment copies, so the
-    # full-beam score comparison needs the unmerged XLA semantics
+def _parity(model, params, enc, enc_lens, K, L, V, E=1, merge=True):
+    # Both backends implement the SAME incremental duplicate-prefix merge
+    # (merge_duplicates=True default), so full-beam scores must agree in
+    # either mode.
     tok_x, len_x, sc_x = beam_search_encoded(
         model, params, enc, enc_lens, beam_width=K, max_output_length=L,
-        expansions_per_frame=E, prune_vocab=V - 1, merge_duplicates=False)
+        expansions_per_frame=E, prune_vocab=V - 1, merge_duplicates=merge)
     tok_p, len_p, sc_p = beam_search_encoded_pallas(
         model, params, enc, enc_lens, beam_width=K, max_output_length=L,
-        expansions_per_frame=E)
+        expansions_per_frame=E, merge_duplicates=merge)
     B = enc.shape[0]
     for b in range(B):
         lx, lp = int(len_x[b]), int(len_p[b])
@@ -42,15 +43,16 @@ def _parity(model, params, enc, enc_lens, K, L, V, E=1):
     return len_x
 
 
-@pytest.mark.parametrize("beam_width,expansions", [(2, 1), (4, 1), (3, 3)])
-def test_overfit_parity_emitting(beam_width, expansions):
+@pytest.mark.parametrize("beam_width,expansions,merge", [
+    (2, 1, True), (4, 1, True), (3, 3, True), (4, 1, False), (3, 3, False)])
+def test_overfit_parity_emitting(beam_width, expansions, merge):
     state, batch, labels, loss = _overfit_state()
     assert loss < 0.5, loss
     model = Transducer(CFG)
     enc, _ = model.encode(state.params, batch["mel_specs"])
     enc_lens = model.encoded_length(batch["spec_lengths"])
     lens = _parity(model, state.params, enc, enc_lens,
-                   beam_width, 8, CFG.vocab_size, E=expansions)
+                   beam_width, 8, CFG.vocab_size, E=expansions, merge=merge)
     assert int(jnp.sum(lens)) > 0  # the overfit model really emits
 
 
