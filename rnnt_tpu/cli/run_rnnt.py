@@ -69,6 +69,21 @@ def parse_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "SPMD (each host reads a disjoint shard subset)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 for jax.distributed "
+                        "(omit to auto-detect on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--pad_frames", type=int, default=0,
+                   help="pad every batch to this many mel frames (one "
+                        "static shape instead of (T,U) buckets).  REQUIRED "
+                        "for multi-host training: hosts execute one global "
+                        "SPMD program per step, so per-host bucket choices "
+                        "would disagree on the compiled shape and deadlock "
+                        "the collective")
+    p.add_argument("--pad_tokens", type=int, default=0,
+                   help="pad every batch to this many label tokens "
+                        "(see --pad_frames)")
     # model/config overrides
     p.add_argument("--config_override", nargs="*", default=[],
                    metavar="KEY=VALUE")
@@ -105,7 +120,12 @@ def main(argv=None):
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        kw = {}
+        if args.coordinator_address:
+            kw = dict(coordinator_address=args.coordinator_address,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        jax.distributed.initialize(**kw)
 
     import jax
     import jax.numpy as jnp
@@ -174,7 +194,17 @@ def main(argv=None):
         sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
                  f"data-axis size {n_data} of the {dict(mesh.shape)} mesh "
                  f"(each device takes an equal batch shard)")
-    state = state._replace(params=shard_params(mesh, state.params))
+    # Whole-state placement: params by the TP rules, optimizer momentum the
+    # same way (its trace subtree mirrors the param paths, so the same rules
+    # apply and momentum memory scales with TP), step replicated.  A restored
+    # state's leaves are committed to local devices and would otherwise clash
+    # with the global mesh context.
+    from rnnt_tpu.parallel.mesh import replicated_sharding
+
+    state = state._replace(
+        params=shard_params(mesh, state.params),
+        opt_state=shard_params(mesh, state.opt_state),
+        step=jax.device_put(np.asarray(state.step), replicated_sharding(mesh)))
     bsh = batch_sharding(mesh)
 
     def shard_batch(batch):
@@ -187,6 +217,42 @@ def main(argv=None):
             }
         return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
+    if (jax.process_count() > 1 and args.mode == "train"
+            and not (args.pad_frames and args.pad_tokens)):
+        sys.exit("multi-host training requires --pad_frames/--pad_tokens: "
+                 "every host must submit the same program shape each step "
+                 "(bucketed per-host padding would deadlock the SPMD "
+                 "collectives)")
+    bucket_kw = {}
+    if args.pad_frames and args.pad_tokens:
+        bucket_kw = dict(t_buckets=[args.pad_frames],
+                         u_buckets=[args.pad_tokens])
+
+    # Multi-host lockstep: hosts own different shard subsets, so their
+    # per-epoch batch counts differ — if one host exhausts its stream while
+    # the others submit another SPMD step, the collective deadlocks.  Agree
+    # once at startup on min-over-hosts batches/epoch and truncate every
+    # epoch to it (the shuffle reseeds per epoch, so different surplus
+    # examples are dropped each time).  Costs one metadata pass over the
+    # local shards.
+    steps_per_epoch = 0
+    if jax.process_count() > 1 and args.mode == "train":
+        from jax.experimental import multihost_utils
+
+        from rnnt_tpu.data import records as records_mod
+
+        n_local = sum(1 for _ in records_mod.read_shards(
+            os.path.join(args.data_dir, "train-*.rnr"),
+            process_index=jax.process_index(),
+            process_count=jax.process_count()))
+        local_batches = -(-n_local // args.batch_size)  # ceil: flush_partial
+        counts = multihost_utils.process_allgather(
+            np.asarray(local_batches, np.int64))
+        steps_per_epoch = int(np.min(counts))
+        if jax.process_index() == 0:
+            print(f"multi-host lockstep: {steps_per_epoch} steps/epoch "
+                  f"(per-host batch counts {np.asarray(counts).tolist()})")
+
     def batches(split, shuffle=False):
         def gen(epoch=0):
             stream = pipeline.batches_from_shards(
@@ -195,10 +261,16 @@ def main(argv=None):
                 process_count=jax.process_count(),
                 shuffle_buffer=args.shuffle_buffer if shuffle else 0,
                 seed=epoch * 9973 + jax.process_index(),
-                reader_threads=args.reader_threads if shuffle else 1)
+                reader_threads=args.reader_threads if shuffle else 1,
+                **bucket_kw)
             # background the host-side batch assembly so it overlaps device
             # steps (the .prefetch() of run_rnnt.py:84)
-            yield from pipeline.prefetch(stream, depth=2)
+            out = pipeline.prefetch(stream, depth=2)
+            if steps_per_epoch and split == "train":
+                import itertools
+
+                out = itertools.islice(out, steps_per_epoch)
+            yield from out
         return gen
 
     if args.profile_dir:

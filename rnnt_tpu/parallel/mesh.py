@@ -110,6 +110,16 @@ def param_sharding_rules(mesh: Mesh, params):
 
 
 def shard_params(mesh: Mesh, params):
-    """Place a param tree onto the mesh according to the rules."""
+    """Place a param tree onto the mesh according to the rules.
+
+    Multi-process: leaves restored from a checkpoint arrive COMMITTED to
+    local devices, and device_put from a committed array to a cross-process
+    sharding demands backend cross-host transfer support (absent on CPU,
+    needless here).  Decommitting to host numpy first takes the
+    same-data-on-every-process path instead — each process materializes its
+    own shards locally.
+    """
     shardings = param_sharding_rules(mesh, params)
+    if jax.process_count() > 1:
+        params = jax.tree_util.tree_map(np.asarray, params)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -177,12 +177,23 @@ def run_training(
     backend = (("orbax" if jax.process_count() > 1 else "npz")
                if ckpt_backend == "auto" else ckpt_backend)
 
+    last_saved_step = [-1]
+
     def maybe_checkpoint(state):
         # Every process must reach save_checkpoint (orbax is collective) and
         # must NOT diverge on jitted computations: periodic eval runs only
         # single-process (its input pipeline is host-local; a process-0-only
         # eval would launch SPMD programs the other processes never join —
         # deadlock).  Multi-host runs eval separately via --mode eval.
+        #
+        # Same-step re-saves are skipped (identical state; the final save
+        # after a loop whose last step just checkpointed would collide —
+        # orbax refuses to overwrite an existing destination).  Every process
+        # computes the same skip decision from the same step value, so the
+        # collective stays aligned.
+        if int(np.asarray(state.step)) == last_saved_step[0]:
+            return
+        last_saved_step[0] = int(np.asarray(state.step))
         if eval_batches_fn is not None and jax.process_count() == 1:
             t0 = time.time()
             metrics = run_evaluate(
@@ -248,11 +259,13 @@ def run_training(
                           f"loss={loss:.4f} ({sec_per_step:.3f}s/step)")
                 if preempted.is_set():
                     # fast save (no eval — the grace window is short); all
-                    # processes participate (orbax saves are collective)
-                    path = ckpt_mod.save_checkpoint(
-                        output_dir, state, cfg, backend=backend)
-                    if jax.process_index() == 0:
-                        print(f"preemption checkpoint written: {path}")
+                    # processes participate (orbax saves are collective);
+                    # skip if this exact step was already checkpointed
+                    if int(np.asarray(state.step)) != last_saved_step[0]:
+                        path = ckpt_mod.save_checkpoint(
+                            output_dir, state, cfg, backend=backend)
+                        if jax.process_index() == 0:
+                            print(f"preemption checkpoint written: {path}")
                     return state
                 if step % steps_per_checkpoint == 0:
                     maybe_checkpoint(state)

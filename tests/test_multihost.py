@@ -1,0 +1,181 @@
+"""Multi-host execution for real: a 2-process jax.distributed CPU cluster
+drives run_rnnt train -> orbax collective checkpoint -> resume -> eval.
+
+This executes the paths that only exist when jax.process_count() > 1 —
+disjoint per-host shard reading, make_array_from_process_local_data batch
+assembly, the multihost periodic-eval skip, lockstep steps/epoch agreement,
+collective orbax saves, and cross-host eval-metric aggregation — none of
+which the in-process 8-device mesh tests can reach (tests/conftest.py forces
+a single process).  The reference has no multi-machine story at all
+(MirroredStrategy is single-host, run_rnnt.py:119-122).
+
+Each worker is a subprocess with the axon TPU plugin disabled (tunnel-free)
+and 4 virtual CPU devices, so the pair forms an 8-device 2-process cluster.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rnnt_tpu.data.audio_io import write_wav
+
+pytestmark = pytest.mark.slow  # spawns subprocess pairs; ~minutes on 2 cores
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = ["--config_override", "encoder_layers=2", "encoder_size=16",
+        "projection_size=8", "pred_net_layers=1", "pred_net_size=16",
+        "joint_size=8", "embedding_size=8", "time_reduction_index=0",
+        "learning_rate=0.01", "grad_clip_norm=1.0"]
+
+PAD = ["--pad_frames", "64", "--pad_tokens", "8"]
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # No axon TPU plugin (the tunnel serves one client; sitecustomize is on
+    # the default PYTHONPATH) — pure-CPU virtual devices instead.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    return env
+
+
+def _run_pair(args_common, port, timeout=420):
+    """Launch run_rnnt twice (process_id 0/1); returns both CompletedProcess."""
+    procs = []
+    for pid in (0, 1):
+        cmd = [sys.executable, "-m", "rnnt_tpu.cli.run_rnnt",
+               "--multihost",
+               "--coordinator_address", f"localhost:{port}",
+               "--num_processes", "2", "--process_id", str(pid)] + args_common
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=_worker_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append((p.returncode, out))
+    return outs
+
+
+def _run_single(args, timeout=420):
+    cmd = [sys.executable, "-m", "rnnt_tpu.cli.run_rnnt"] + args
+    r = subprocess.run(cmd, cwd=REPO, env=_worker_env(), timeout=timeout,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True)
+    return r.returncode, r.stdout
+
+
+def _parse_metrics(stdout: str) -> dict:
+    for line in reversed(stdout.strip().splitlines()):
+        if line.startswith("eval_loss="):
+            return {k: float(v) for k, v in
+                    (kv.split("=") for kv in line.split())}
+    raise AssertionError(f"no eval metrics line in output:\n{stdout}")
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    """Tiny LibriSpeech-layout corpus -> preprocessed shards (4 shards so
+    each of 2 hosts owns a disjoint pair)."""
+    root = tmp_path_factory.mktemp("mh_corpus")
+    rng = np.random.default_rng(0)
+    words = ["ab", "cd", "ef"]
+    for split, n in [("train-mini", 8), ("dev-mini", 4)]:
+        d = root / split / "1" / "10"
+        d.mkdir(parents=True)
+        lines = []
+        for i in range(n):
+            utt = f"1-10-{i:04d}"
+            ws = [words[int(rng.integers(len(words)))] for _ in range(2)]
+            audio = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+            write_wav(str(d / f"{utt}.wav"), audio, 16000)
+            lines.append(f"{utt} {' '.join(w.upper() for w in ws)}")
+        (d / "1-10.trans.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path_factory.mktemp("mh_data")
+    r = subprocess.run(
+        [sys.executable, "-m", "rnnt_tpu.cli.preprocess_librispeech",
+         "--data_dir", str(root), "--output_dir", str(out),
+         "--train_splits", "train-mini", "--dev_splits", "dev-mini",
+         "--test_splits", "dev-mini", "--token_type", "character",
+         "--num_shards", "4"],
+        cwd=REPO, env=_worker_env(), timeout=300,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    assert r.returncode == 0, r.stdout
+    return out
+
+
+def test_two_process_train_resume_eval(data_dir, tmp_path):
+    out_dir = str(tmp_path / "run")
+
+    # --- phase 1: fresh 2-process training with collective orbax saves ----
+    common = ["--mode", "train", "--data_dir", str(data_dir),
+              "--output_dir", out_dir, "--batch_size", "8",
+              "--n_epochs", "2", "--steps_per_log", "1",
+              "--steps_per_checkpoint", "2", "--eval_size", "1",
+              "--no-bf16"] + PAD + TINY
+    (rc0, out0), (rc1, out1) = _run_pair(common, _free_port())
+    assert rc0 == 0, out0
+    assert rc1 == 0, out1
+    # lockstep agreement and the multihost eval-skip branch both ran
+    assert "multi-host lockstep: 1 steps/epoch" in out0, out0
+    assert "multi-host: periodic eval skipped" in out0, out0
+    # collective orbax checkpoint exists (auto backend picks orbax when
+    # process_count > 1)
+    ckpts = [p for p in os.listdir(out_dir) if p.endswith(".orbax")]
+    assert ckpts, os.listdir(out_dir)
+    step1 = max(int(re.match(r"checkpoint_(\d+)\.orbax", c).group(1))
+                for c in ckpts)
+    assert step1 == 2  # 1 lockstep step/epoch x 2 epochs
+
+    # --- phase 2: resume-in-place continues from the restored step --------
+    resume = ["--mode", "train", "--data_dir", str(data_dir),
+              "--output_dir", out_dir, "--checkpoint", "auto",
+              "--batch_size", "8", "--n_epochs", "1", "--steps_per_log", "1",
+              "--steps_per_checkpoint", "50", "--eval_size", "1",
+              "--no-bf16"] + PAD + TINY
+    (rc0, out0), (rc1, out1) = _run_pair(resume, _free_port())
+    assert rc0 == 0, out0
+    assert rc1 == 0, out1
+    assert "step 3:" in out0, out0  # continued from step 2, not step 0
+    steps = [int(re.match(r"checkpoint_(\d+)\.orbax", c).group(1))
+             for c in os.listdir(out_dir) if c.endswith(".orbax")]
+    assert max(steps) == 3
+
+    # --- phase 3: 2-process eval aggregates metrics across hosts ----------
+    ev = ["--mode", "eval", "--data_dir", str(data_dir),
+          "--output_dir", out_dir, "--checkpoint", out_dir,
+          "--batch_size", "8", "--no-bf16"] + PAD
+    (rc0, out0), (rc1, out1) = _run_pair(ev, _free_port())
+    assert rc0 == 0, out0
+    assert rc1 == 0, out1
+    m_multi = _parse_metrics(out0)
+    # only process 0 reports (others hold partial shards pre-aggregation)
+    with pytest.raises(AssertionError):
+        _parse_metrics(out1)
+
+    # single-process eval over the same shards must agree: the aggregation
+    # reconstructs whole-dataset metrics from per-host sufficient statistics
+    rc, out = _run_single(ev)  # same args, 1 process, no --multihost
+    assert rc == 0, out
+    m_single = _parse_metrics(out)
+    for k in ("eval_loss", "eval_accuracy", "eval_wer", "eval_cer"):
+        assert k in m_multi and k in m_single, (m_multi, m_single)
+        np.testing.assert_allclose(m_multi[k], m_single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
