@@ -39,6 +39,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _vma_join(*xs):
+    """Cast all args to the union of their varying-mesh-axes sets.
+
+    Inside a shard_map with vma checking, dot_general requires operands'
+    vma to match exactly (elementwise ops auto-promote, dots do not): e.g.
+    a batch-varying activation times the replicated W1, or the vocab-sharded
+    W2.  No-op outside shard_map.
+    """
+    want = frozenset()
+    for x in xs:
+        want = want | frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+    out = []
+    for x in xs:
+        missing = tuple(
+            want - frozenset(getattr(jax.typeof(x), "vma", ()) or ()))
+        out.append(jax.lax.pcast(x, missing, to="varying") if missing else x)
+    return out
+
+
 def _plane_kernel(f_ref, g_ref, y_ref, b1_ref, w2_ref, b2_ref,
                   denom_ref, blank_ref, emit_ref,
                   h_scr, m_scr, s_scr, bl_scr, em_scr,
@@ -185,6 +204,15 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_plane_kernel, Bt=Bt, Tt=Tt, Ut=Ut, J=J,
                                Vt=Vt, nV=nV)
+    # Under shard_map with vma checking, pallas outputs must declare which
+    # mesh axes they vary over: the union of the inputs' (f is batch-sharded
+    # over data; w2 vocab-sharded over model).
+    vma = frozenset()
+    for x in (f, g, w2):
+        vma = vma | frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+    shp_kw = {"vma": vma} if vma else {}
+    out_struct = jax.ShapeDtypeStruct((nB * nT * nU, C, 1), jnp.float32,
+                                      **shp_kw)
     denom, blank, emit = pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,7 +232,7 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((nB * nT * nU, C, 1), jnp.float32)] * 3,
+        out_shape=[out_struct] * 3,
         scratch_shapes=[
             pltpu.VMEM((C, J), jnp.float32),    # h tile
             pltpu.VMEM((C, 1), jnp.float32),    # running max
@@ -224,10 +252,35 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
     return unflatten(denom), unflatten(blank), unflatten(emit)
 
 
-def _planes(f, g, b1, w2, b2, labels, label_lengths, interpret_unused=None):
+def _planes(f, g, b1, w2, b2, labels, label_lengths, axis=None):
+    """(denom, blank-coeff, emit-coeff) planes.
+
+    axis: mesh axis name when running INSIDE a shard_map with w2/b2
+    vocab-sharded over it (tensor parallelism).  Each shard computes planes
+    over its local vocab slice; a logaddexp-psum reconstructs the global
+    logsumexp denominator and pmax picks the owner shard's blank/emit logits
+    (the blank column lives on shard 0; a label's column lives on exactly
+    the shard where the offset id falls in [0, V_local)).  Communication is
+    three [B, T, U+1] fp32 planes — vs all-gathering the [J, V] W2 every
+    step if GSPMD had to feed the unsharded kernel.
+    """
     B, U = labels.shape
     labels_pad = jnp.concatenate([labels, jnp.zeros((B, 1), labels.dtype)], 1)
-    denom, blank, emit = _compute_planes(f, g, labels_pad, b1, w2, b2)
+    if axis is None:
+        denom, blank, emit = _compute_planes(f, g, labels_pad, b1, w2, b2)
+    else:
+        V_local = w2.shape[1]
+        idx = jax.lax.axis_index(axis)
+        # shift ids into this shard's local coordinates: out-of-shard ids
+        # fall outside [0, V_local) and match no lane (emit stays NEG)
+        y_local = labels_pad.astype(jnp.int32) - idx * V_local
+        denom_l, blank_l, emit_l = _compute_planes(
+            f, g, y_local, b1, w2, b2)
+        blank_l = jnp.where(idx == 0, blank_l, NEG)  # global col 0 = shard 0
+        m = jax.lax.pmax(denom_l, axis)
+        denom = m + jnp.log(jax.lax.psum(jnp.exp(denom_l - m), axis))
+        blank = jax.lax.pmax(blank_l, axis)
+        emit = jax.lax.pmax(emit_l, axis)
     b = blank - denom  # log-softmax coefficients (ref._gather_coeffs contract)
     e = emit - denom
     U1 = U + 1
@@ -236,32 +289,14 @@ def _planes(f, g, b1, w2, b2, labels, label_lengths, interpret_unused=None):
     return denom, b, e, labels_pad
 
 
-def _forward(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
-    denom, b, e, _ = _planes(f, g, b1, w2, b2, labels, label_lengths)
+def _forward(f, g, b1, w2, b2, labels, logit_lengths, label_lengths,
+             axis=None):
+    denom, b, e, _ = _planes(f, g, b1, w2, b2, labels, label_lengths,
+                             axis=axis)
     alpha = ref._alpha_scan(b, e)
     beta = ref._beta_scan(b, e, logit_lengths, label_lengths)
     ll = beta[:, 0, 0]
     return -ll, (denom, b, e, alpha, beta, ll)
-
-
-@jax.custom_vjp
-def rnnt_loss_fused(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
-    """Per-example RNN-T NLL from pre-projected joint inputs.
-
-    f = enc @ W1 [B,T,J]; g = pred @ W1 [B,U+1,J] (the linear-split joint,
-    joint.py:joint_project); b1/W2/b2 are the joint nonlinearity + vocab
-    projection.  Gradients flow to f, g, b1, w2, b2.
-    """
-    loss, _ = _forward(f, g, b1, w2, b2, labels, logit_lengths, label_lengths)
-    return loss
-
-
-def _fwd(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
-    loss, (denom, b, e, alpha, beta, ll) = _forward(
-        f, g, b1, w2, b2, labels, logit_lengths, label_lengths)
-    res = (f, g, b1, w2, b2, denom, b, e, alpha, beta, ll, labels,
-           logit_lengths, label_lengths)
-    return loss, res
 
 
 _BWD_CHUNK = 8  # batch rows whose [chunk,T,U+1,V] grad tensors coexist
@@ -278,12 +313,24 @@ _BWD_CHUNK = 8  # batch rows whose [chunk,T,U+1,V] grad tensors coexist
 # forward planes kernel at ~120 TFLOP/s, so it cannot beat this XLA path.
 
 
-def _bwd(res, ct):
+def _bwd(res, ct, axis=None):
     (f, g, b1, w2, b2, denom, b, e, alpha, beta, ll, labels,
      logit_lengths, label_lengths) = res
     B, T, J = f.shape
     U1 = g.shape[1]
-    V = w2.shape[1]
+    V = w2.shape[1]  # LOCAL vocab width under tensor parallelism
+    if axis is not None:
+        shard = jax.lax.axis_index(axis)
+        blank_own = (shard == 0).astype(jnp.float32)  # global col 0 owner
+        y_off = shard * V
+        # check_vma=False shard_map splits the cotangent of a model-
+        # replicated output evenly across the model shards (out_specs omit
+        # the axis); undo the split so each shard works with the full ct —
+        # the grads this bwd returns are per-shard PARTIALS whose boundary-
+        # transpose psum then reconstructs exactly the true gradient.
+        ct = ct * jax.lax.psum(1, axis)
+    else:
+        blank_own, y_off = 1.0, 0
 
     t_idx = jnp.arange(T)[None, :, None]
     u_idx = jnp.arange(U1)[None, None, :]
@@ -316,15 +363,23 @@ def _bwd(res, ct):
         h = jnp.tanh(pre)
         hb = h.astype(compute_dtype)
 
-        logits = jnp.dot(hb, w2, preferred_element_type=jnp.float32) \
+        hb, w2_j = _vma_join(hb, w2)
+        logits = jnp.dot(hb, w2_j, preferred_element_type=jnp.float32) \
             + b2.astype(jnp.float32)
+        # den is the GLOBAL logsumexp, so this is the global softmax's local
+        # vocab slice; one_hot of the locally-shifted id is all-zero on
+        # non-owner shards (out-of-range), exactly the local dlogits slice.
         softmax = jnp.exp(logits - den[..., None])
-        onehot = jax.nn.one_hot(yc, V, dtype=jnp.float32)[:, None]
-        dlogits = (softmax * occc[..., None]).at[..., 0].add(-gbl) \
-            - gem[..., None] * onehot
+        onehot = jax.nn.one_hot(yc - y_off, V, dtype=jnp.float32)[:, None]
+        dlogits = (softmax * occc[..., None]).at[..., 0].add(
+            -gbl * blank_own) - gem[..., None] * onehot
 
         dlb = dlogits.astype(compute_dtype)
-        dh = jnp.dot(dlb, w2.T, preferred_element_type=jnp.float32)
+        # Under TP this dh (and df/dg/db1 downstream) is the PARTIAL sum
+        # over this shard's vocab slice — deliberately NOT psum'd here: the
+        # shard_map transpose of every input psums its cotangent over the
+        # mesh axes absent from its in_spec, which completes the sum.
+        dh = jnp.dot(dlb, w2_j.T, preferred_element_type=jnp.float32)
         dw2_c = jax.lax.dot_general(
             hb, dlb, (((0, 1, 2), (0, 1, 2)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -361,7 +416,45 @@ def _bwd(res, ct):
             np.zeros(label_lengths.shape, f0))
 
 
-rnnt_loss_fused.defvjp(_fwd, _bwd)
+@functools.lru_cache(maxsize=None)
+def _make_rnnt_loss_fused(axis):
+    """custom_vjp'd fused loss; axis=None single-shard, else the mesh axis
+    w2/b2 are vocab-sharded over (call from inside a shard_map)."""
+
+    @jax.custom_vjp
+    def loss_fn(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+        loss, _ = _forward(f, g, b1, w2, b2, labels, logit_lengths,
+                           label_lengths, axis=axis)
+        return loss
+
+    def fwd(f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+        loss, (denom, b, e, alpha, beta, ll) = _forward(
+            f, g, b1, w2, b2, labels, logit_lengths, label_lengths, axis=axis)
+        res = (f, g, b1, w2, b2, denom, b, e, alpha, beta, ll, labels,
+               logit_lengths, label_lengths)
+        return loss, res
+
+    loss_fn.defvjp(fwd, functools.partial(_bwd, axis=axis))
+    return loss_fn
+
+
+#: Per-example RNN-T NLL from pre-projected joint inputs.
+#: f = enc @ W1 [B,T,J]; g = pred @ W1 [B,U+1,J] (the linear-split joint,
+#: joint.py:joint_project); b1/W2/b2 are the joint nonlinearity + vocab
+#: projection.  Gradients flow to f, g, b1, w2, b2.
+rnnt_loss_fused = _make_rnnt_loss_fused(None)
+
+
+def _ambient_tp_axis():
+    """('model', other-axes) when tracing under a mesh with a >1 model axis."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return None, ()
+    names = tuple(getattr(am, "axis_names", ()) or ())
+    if "model" in names and dict(am.shape)["model"] > 1:
+        return "model", tuple(a for a in names if a != "model")
+    return None, ()
 
 
 def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
@@ -370,10 +463,50 @@ def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
 
     Applies the linear split of the first joint Dense (W(h_enc+h_pred) =
     W h_enc + W h_pred, joint.py) then the fused kernel loss.
+
+    Under a mesh whose 'model' axis is >1 (tensor parallelism) the whole
+    loss runs inside a shard_map: W2/b2 stay vocab-sharded on their devices
+    (the opaque pallas_call would otherwise force GSPMD to all-gather the
+    [J, V] W2 every step), each shard reduces its vocab slice to the three
+    [B, T, U+1] planes, and one logaddexp-psum + two pmax combine them.
+    W1/b1 are small and replicated (see parallel/mesh.py rules).
     """
+    axis, data_axes = _ambient_tp_axis()
     w1 = joint_params["w1"]
-    f = jnp.dot(enc, w1, preferred_element_type=jnp.float32).astype(enc.dtype)
-    g = jnp.dot(pred, w1, preferred_element_type=jnp.float32).astype(pred.dtype)
-    return rnnt_loss_fused(
-        f, g, joint_params["b1"], joint_params["w2"], joint_params["b2"],
-        labels, enc_lengths, label_lengths)
+    if axis is None:
+        f = jnp.dot(enc, w1,
+                    preferred_element_type=jnp.float32).astype(enc.dtype)
+        g = jnp.dot(pred, w1,
+                    preferred_element_type=jnp.float32).astype(pred.dtype)
+        return rnnt_loss_fused(
+            f, g, joint_params["b1"], joint_params["w2"], joint_params["b2"],
+            labels, enc_lengths, label_lengths)
+
+    from jax.sharding import PartitionSpec as P
+
+    dspec = P(data_axes)  # batch rows over the data axes, model-replicated
+    loss_fn = _make_rnnt_loss_fused(axis)
+
+    def body(w1, b1, w2, b2, enc, pred, labels, enc_lengths, label_lengths):
+        enc_j, pred_j, w1_j = _vma_join(enc, pred, w1)
+        f = jnp.dot(enc_j, w1_j,
+                    preferred_element_type=jnp.float32).astype(enc.dtype)
+        g = jnp.dot(pred_j, w1_j,
+                    preferred_element_type=jnp.float32).astype(pred.dtype)
+        return loss_fn(f, g, b1, w2, b2, labels, enc_lengths, label_lengths)
+
+    return jax.shard_map(
+        body,
+        in_specs=(P(), P(), P(None, axis), P(axis),
+                  dspec, dspec, dspec, dspec, dspec),
+        out_specs=dspec,
+        # vma checking cannot see through pallas_call (no pcast lowering in
+        # kernels; JAX's own error recommends this flag).  The unchecked
+        # contract this code relies on — cotangents of model-replicated
+        # outputs arrive split 1/mp per shard, input cotangents are psum'd
+        # over the axes absent from each in_spec — is compensated in _bwd
+        # (ct rescale + partial grads) and pinned by the 4x2-vs-single-
+        # device parity test.
+        check_vma=False,
+    )(w1, joint_params["b1"], joint_params["w2"], joint_params["b2"],
+      enc, pred, labels, enc_lengths, label_lengths)

@@ -35,6 +35,25 @@ import numpy as np
 NEG = -1e30
 
 
+def _pvary_like(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Promote x's varying-mesh-axes set (vma) to match `like`.
+
+    Inside a shard_map (the TP fused-loss path wraps these scans), literals
+    like jnp.full carry an empty vma while the lattice planes vary over the
+    data axis — lax.scan requires carry-in/carry-out vma to match.  No-op
+    outside shard_map.
+    """
+    want = frozenset(getattr(jax.typeof(like), "vma", ()) or ())
+    have = frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+    missing = tuple(want - have)
+    if not missing:
+        return x
+    try:
+        return jax.lax.pcast(x, missing, to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, missing)
+
+
 def _row_scan(c: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Solve x[u] = logaddexp(c[u], w[u] + x[u-1]) (x[-1] = -inf) along axis -1.
 
@@ -68,7 +87,7 @@ def _alpha_scan(b: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
     e_shift = jnp.concatenate([jnp.full((B, T, 1), NEG, b.dtype), e[:, :, :-1]], axis=2)
 
     c0 = jnp.full((B, U1), NEG, b.dtype).at[:, 0].set(0.0)
-    a0 = _row_scan(c0, e_shift[:, 0])
+    a0 = _row_scan(_pvary_like(c0, b), e_shift[:, 0])
 
     def step(a_prev, xs):
         b_prev, w = xs  # b[t-1]: time-step coefficient; w: within-row label steps
@@ -108,7 +127,7 @@ def _beta_scan(
     ts = jnp.arange(T - 1, -1, -1)
     _, betas = jax.lax.scan(
         step,
-        jnp.full((B, U1), NEG, b.dtype),
+        _pvary_like(jnp.full((B, U1), NEG, b.dtype), b),
         (jnp.moveaxis(jnp.flip(b, 1), 1, 0), jnp.moveaxis(jnp.flip(e, 1), 1, 0), ts),
     )
     return jnp.flip(jnp.moveaxis(betas, 0, 1), 1)

@@ -67,9 +67,11 @@ _PARAM_RULES = [
     (r".*lstm/wp$", P("model", None)),
     # Embedding: shard over embedding dim.
     (r".*embed$", P(None, "model")),
-    # Joint: first dense column-parallel, vocab dense column-parallel over V.
-    (r".*joint/w1$", P(None, "model")),
-    (r".*joint/b1$", P("model")),
+    # Joint: W1/b1 replicated — the fused joint+loss kernel consumes the
+    # full J=joint_size activation per vocab shard (ops/joint_loss_fused
+    # shard_map path), and at [P, J] they are tiny; the vocab projection
+    # W2/b2 is column-parallel over V, which is where the joint's memory
+    # and FLOPs live.
     (r".*joint/w2$", P(None, "model")),
     (r".*joint/b2$", P("model")),
 ]

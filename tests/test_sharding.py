@@ -41,6 +41,7 @@ def test_eight_devices_available():
     pytest.param(8, 1, "ref", marks=pytest.mark.slow),
     pytest.param(4, 2, "ref", marks=pytest.mark.slow),
     (8, 1, "fused"),
+    (4, 2, "fused"),
     pytest.param(8, 1, "banded", marks=pytest.mark.slow)])
 def test_sharded_train_step_matches_single_device(data, model, impl):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
@@ -125,3 +126,34 @@ def test_param_sharding_rules_cover_model_axis():
         jax.tree_util.tree_map(lambda s: str(s.spec), shardings))
     # at least the LSTM gate matrices and joint must be model-sharded
     assert any("model" in s for s in specs)
+
+
+def test_tp_fused_loss_no_w2_allgather():
+    """With model_parallel=2 the fused loss runs shard_mapped: the HLO must
+    contain NO all-gather of the vocab-sharded [J, V] W2 (round-1 weakness:
+    the opaque pallas_call forced GSPMD to gather 10 MB of W2 per step per
+    device).  The only model-axis collectives are the three [B,T,U+1] plane
+    reductions and the [.., J] dh psum."""
+    mesh = make_mesh(data=4, model=2)
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    step_fn = make_train_step(CFG, loss_impl="fused", donate=False)
+    batch = _batch()
+    shardings = param_sharding_rules(mesh, state.params)
+    params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    opt = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state.opt_state)
+    st = state._replace(
+        params=params, opt_state=opt,
+        step=jax.device_put(state.step, NamedSharding(mesh, P())))
+    bsh = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    with jax.sharding.set_mesh(mesh):
+        hlo = step_fn.lower(st, sharded_batch,
+                            jax.random.PRNGKey(1)).compile().as_text()
+    J, V = CFG.joint_size, CFG.vocab_size
+    # any all-gather reconstructing the full [J, V] W2 (fp32 or bf16)
+    import re as re_mod
+    gathers = [l for l in hlo.splitlines() if "all-gather" in l]
+    bad = [l for l in gathers if re_mod.search(
+        rf"f32\[{J},{V}\]|bf16\[{J},{V}\]", l)]
+    assert not bad, "full-W2 all-gather in TP HLO:\n" + "\n".join(bad)
