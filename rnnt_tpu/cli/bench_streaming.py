@@ -6,6 +6,13 @@ stateful StreamingTranscriber on a randomly initialized flagship model and
 reports per-chunk latency percentiles.
 
   python -m rnnt_tpu.cli.bench_streaming [--chunks 200] [--tiny]
+
+With --checkpoint + --audio_dir it instead measures the QUALITY cost of
+streaming: every utterance of --split is decoded offline and chunk-streamed
+and the WER delta is reported (BASELINE.md streamed-vs-offline metric).
+
+  python -m rnnt_tpu.cli.bench_streaming --checkpoint runs/x \
+      --audio_dir corpus/ --split test-synth
 """
 
 from __future__ import annotations
@@ -21,6 +28,12 @@ def main(argv=None):
     p.add_argument("--chunk_samples", type=int, default=1024)
     p.add_argument("--tiny", action="store_true",
                    help="debug-size model instead of the parity config")
+    p.add_argument("--checkpoint", default=None,
+                   help="decode a real model: streamed-vs-offline WER mode")
+    p.add_argument("--audio_dir", default=None,
+                   help="LibriSpeech-layout corpus root (WER mode)")
+    p.add_argument("--split", default="test-synth")
+    p.add_argument("--max_utts", type=int, default=0, help="0 = all")
     args = p.parse_args(argv)
 
     import jax
@@ -31,6 +44,37 @@ def main(argv=None):
     from rnnt_tpu.data.tokenizer import CharTokenizer
     from rnnt_tpu.decode.streaming import StreamingTranscriber
     from rnnt_tpu.models.transducer import init_transducer_params
+
+    if args.checkpoint:
+        import itertools
+
+        from rnnt_tpu.compile_cache import enable_compile_cache
+        from rnnt_tpu.data import librispeech
+        from rnnt_tpu.data.tokenizer import get_tokenizer
+        from rnnt_tpu.decode.streaming import streamed_vs_offline
+        from rnnt_tpu.train import checkpoint as ckpt_mod
+
+        enable_compile_cache()
+        cfg = ckpt_mod.load_config(args.checkpoint)
+        tok = get_tokenizer(args.checkpoint, cfg.token_type, cfg.vocab_size)
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg, dtype)
+        utts = librispeech.load_dataset(args.audio_dir, [args.split])
+        if args.max_utts:
+            utts = itertools.islice(utts, args.max_utts)
+        off_wer, str_wer, details = streamed_vs_offline(
+            cfg, state.params, tok, utts, chunk_samples=args.chunk_samples)
+        print(json.dumps({
+            "metric": "streamed_vs_offline_wer_delta",
+            "value": round(str_wer - off_wer, 4),
+            "unit": "WER",
+            "offline_wer": round(off_wer, 4),
+            "streamed_wer": round(str_wer, 4),
+            "n_utts": len(details),
+            "chunk_samples": args.chunk_samples,
+            "backend": jax.default_backend(),
+        }))
+        return
 
     if args.tiny:
         cfg = tiny_config()

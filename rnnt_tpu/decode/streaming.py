@@ -41,12 +41,22 @@ class StreamingTranscriber:
     """Stateful chunk-by-chunk transcription (batch 1)."""
 
     def __init__(self, cfg: RNNTConfig, params, tokenizer,
-                 *, max_tokens_per_chunk: int = 64):
+                 *, max_tokens_per_chunk: int = 64,
+                 prime_seconds: float = 0.5):
+        """prime_seconds: buffer this much audio before the first decode so
+        the causal feature mean starts from a usable estimate.  The first
+        chunks of a stream are mostly leading silence/noise; normalizing by
+        their statistics alone is wildly off the whole-utterance mean the
+        model trained with, and was measured to inject spurious tokens at
+        stream start (offline WER 0.125 vs streamed 0.625 on the overfit
+        tone corpus; 0 delta with priming — tests/test_beam_stream_ckpt).
+        Costs one-time first-output latency; 0 disables."""
         self.cfg = cfg
         self.model = Transducer(cfg)
         self.params = params
         self.tokenizer = tokenizer
         self.max_tokens_per_chunk = max_tokens_per_chunk
+        self.prime_samples = int(prime_seconds * cfg.sample_rate)
         self.reset()
 
         # The per-chunk compute is jitted once per chunk length; feeding
@@ -64,6 +74,8 @@ class StreamingTranscriber:
         self._run = jax.jit(_run)
 
     def reset(self) -> None:
+        self._primed = self.prime_samples == 0
+        self._prime_buf = np.zeros((0,), np.float32)
         self._sample_rem = np.zeros((0,), np.float32)  # boundary samples
         self._frame_rem = np.zeros((0, self.cfg.mel_bins), np.float32)
         # stacked frames held back so each encode() sees a multiple of the
@@ -102,6 +114,10 @@ class StreamingTranscriber:
         zero samples (silence) to complete every alignment boundary so the
         real tail gets decoded; returns the final transcript."""
         cfg = self.cfg
+        if not self._primed:  # short stream: force the buffered audio out
+            self._primed = True
+            pending, self._prime_buf = self._prime_buf, np.zeros((0,), np.float32)
+            self.process_chunk(pending)
         r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
         pad = (cfg.frame_length_samples
                + cfg.frame_step_samples * cfg.downsample_factor * (r + 1))
@@ -110,6 +126,13 @@ class StreamingTranscriber:
     def process_chunk(self, samples: np.ndarray) -> str:
         """Feed raw audio samples; returns the transcript so far."""
         cfg = self.cfg
+        if not self._primed:
+            self._prime_buf = np.concatenate(
+                [self._prime_buf, np.asarray(samples, np.float32)])
+            if len(self._prime_buf) < self.prime_samples:
+                return self.text
+            samples, self._prime_buf = self._prime_buf, np.zeros((0,), np.float32)
+            self._primed = True
         buf = np.concatenate([self._sample_rem, np.asarray(samples, np.float32)])
 
         frame_len, step = cfg.frame_length_samples, cfg.frame_step_samples
@@ -151,3 +174,50 @@ class StreamingTranscriber:
             self.params, jnp.asarray(mel), self._enc_state, self._carry)
         self._text_ids.extend(np.asarray(tokens)[: int(length)].tolist())
         return self.text
+
+
+def streamed_vs_offline(cfg: RNNTConfig, params, tokenizer, utterances,
+                        *, chunk_samples: int = 1024,
+                        max_output_length: int = 256):
+    """Decode (audio, sr, ref_text) utterances offline AND chunk-streamed.
+
+    Measures the quality cost of causal streaming (the running-mean feature
+    normalization is exact only at stream end — early chunks see a noisier
+    estimate).  Returns (offline_wer, streamed_wer, details) where details
+    is [(ref, offline_text, streamed_text)] — BASELINE.md records the delta
+    over the held-out synthetic test set.
+    """
+    from rnnt_tpu.data.tokenizer import normalize_text
+    from rnnt_tpu.decode.greedy import greedy_decode
+    from rnnt_tpu.metrics import wer as wer_fn
+
+    model = Transducer(cfg)
+    st = StreamingTranscriber(cfg, params, tokenizer)
+
+    @jax.jit
+    def offline(params, mel, sl):
+        return greedy_decode(model, params, mel, sl,
+                             max_output_length=max_output_length)
+
+    refs, off_texts, str_texts = [], [], []
+    for audio, sr, ref in utterances:
+        assert sr == cfg.sample_rate
+        audio = np.asarray(audio, np.float32)
+        mel = np.asarray(F.preprocess_audio(jnp.asarray(audio), cfg))
+        t = mel.shape[0]
+        pad_t = -(-t // 128) * 128  # closed shape set: one compile per bucket
+        mel_p = np.zeros((1, pad_t, mel.shape[1]), np.float32)
+        mel_p[0, :t] = mel
+        tokens, lengths = offline(params, jnp.asarray(mel_p),
+                                  jnp.asarray([t], jnp.int32))
+        off_texts.append(tokenizer.decode(
+            np.asarray(tokens[0])[: int(lengths[0])].tolist()))
+
+        st.reset()
+        for o in range(0, len(audio), chunk_samples):
+            st.process_chunk(audio[o: o + chunk_samples])
+        str_texts.append(st.flush())
+        refs.append(normalize_text(ref))
+
+    return (wer_fn(refs, off_texts), wer_fn(refs, str_texts),
+            list(zip(refs, off_texts, str_texts)))

@@ -253,3 +253,83 @@ def test_streaming_flush_drains_tail():
     offline = len(np.asarray(F.preprocess_audio(jnp.asarray(audio), cfg)))
     assert n_before < offline  # tail really was held back
     assert n_after >= offline  # flush drained it (plus silence padding)
+
+
+def _tone_utterances():
+    """Tiny compositional audio corpus: each word is a tone sequence."""
+    sr = 16000
+    tones = {"ab": 500.0, "ca": 1100.0, "bc": 2300.0}
+
+    def word_audio(w):
+        n = int(0.25 * sr)
+        t = np.arange(n) / sr
+        env = np.ones(n)
+        fade = int(0.02 * sr)
+        env[:fade] = np.linspace(0, 1, fade)
+        env[-fade:] = np.linspace(1, 0, fade)
+        return (0.4 * np.sin(2 * np.pi * tones[w] * t) * env).astype(np.float32)
+
+    gap = np.zeros(int(0.06 * sr), np.float32)
+    utts = []
+    for words in (["ab", "ca"], ["bc", "ab"], ["ca", "bc"], ["ab", "bc"]):
+        parts = [gap]
+        for w in words:
+            parts += [word_audio(w), gap]
+        utts.append((np.concatenate(parts), sr, " ".join(words)))
+    return utts
+
+
+def test_streamed_wer_close_to_offline_on_overfit_audio_model():
+    """Streaming quality over a SET of utterances, not one anecdote: a model
+    overfit on audio-derived features must transcribe the same audio nearly
+    as well chunk-streamed (causal running-mean normalization, carried LSTM
+    state) as offline.  Pins the streamed-vs-offline WER delta the causal
+    feature statistics cost (BASELINE.md records the parity-scale number)."""
+    from rnnt_tpu.decode.streaming import streamed_vs_offline
+    from rnnt_tpu.ops import features as F
+
+    tok = CharTokenizer()
+    cfg = CFG.replace(vocab_size=tok.vocab_size, mel_bins=8,
+                      encoder_size=32, pred_net_size=32, learning_rate=0.05)
+    utts = _tone_utterances()
+    mels = [np.asarray(F.preprocess_audio(jnp.asarray(a), cfg))
+            for a, _, _ in utts]
+    labels = [tok.encode(txt) for _, _, txt in utts]
+    T = max(m.shape[0] for m in mels)
+    U = max(len(l) for l in labels)
+    B = len(utts)
+    mel_b = np.zeros((B, T, cfg.input_feat_size), np.float32)
+    lab_b = np.zeros((B, U), np.int32)
+    sl = np.zeros((B,), np.int32)
+    ll = np.zeros((B,), np.int32)
+    for i, (m, l) in enumerate(zip(mels, labels)):
+        mel_b[i, : m.shape[0]] = m
+        lab_b[i, : len(l)] = l
+        sl[i], ll[i] = m.shape[0], len(l)
+    batch = {
+        "mel_specs": jnp.asarray(mel_b),
+        "pred_inp": jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.asarray(lab_b)], axis=1),
+        "labels": jnp.asarray(lab_b),
+        "spec_lengths": jnp.asarray(sl),
+        "label_lengths": jnp.asarray(ll),
+    }
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, donate=False)
+    key = jax.random.PRNGKey(2)
+    loss = float("inf")
+    for _ in range(600):
+        key, sub = jax.random.split(key)
+        new_state, m = step_fn(state, batch, sub)
+        loss = float(m["loss"])
+        if loss < 0.05:
+            break
+        state = new_state
+    assert loss < 0.5, loss  # must actually learn the audio->text mapping
+
+    off_wer, str_wer, details = streamed_vs_offline(
+        cfg, state.params, tok, utts, chunk_samples=1024)
+    assert off_wer <= 0.25, details   # offline decode reads back the corpus
+    # streaming's causal feature statistics may cost a little quality but
+    # must stay close (the parity-scale delta lands in BASELINE.md)
+    assert str_wer - off_wer <= 0.25, details
