@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--split", default="test-synth")
     p.add_argument("--max_utts", type=int, default=0, help="0 = all")
     args = p.parse_args(argv)
+    if args.checkpoint and not args.audio_dir:
+        p.error("--checkpoint (WER mode) requires --audio_dir")
 
     import jax
     import jax.numpy as jnp
@@ -84,7 +86,10 @@ def main(argv=None):
     cfg = cfg.replace(vocab_size=tok.vocab_size)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = init_transducer_params(jax.random.PRNGKey(0), cfg, dtype)
-    st = StreamingTranscriber(cfg, params, tok)
+    # prime_seconds=0: the latency benchmark times steady-state per-chunk
+    # compute; the quality-priming buffer would turn early timed chunks into
+    # near-zero appends and shift the JIT compiles past the warmup cutoff
+    st = StreamingTranscriber(cfg, params, tok, prime_seconds=0)
 
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(args.chunks * args.chunk_samples)

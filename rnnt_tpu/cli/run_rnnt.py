@@ -190,7 +190,9 @@ def main(argv=None):
     # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
     mesh = make_mesh(data=-1, model=args.model_parallel)
     n_data = mesh.shape["data"]
-    if args.batch_size % n_data:
+    if args.mode == "train" and args.batch_size % n_data:
+        # train batches are sharded over the data axis; eval batches stay
+        # host-local (per-host metric statistics, aggregated at the end)
         sys.exit(f"--batch_size {args.batch_size} must be divisible by the "
                  f"data-axis size {n_data} of the {dict(mesh.shape)} mesh "
                  f"(each device takes an equal batch shard)")
@@ -217,10 +219,10 @@ def main(argv=None):
             }
         return {k: jax.device_put(v, bsh) for k, v in batch.items()}
 
-    if (jax.process_count() > 1 and args.mode == "train"
+    if (jax.process_count() > 1
             and not (args.pad_frames and args.pad_tokens)):
-        sys.exit("multi-host training requires --pad_frames/--pad_tokens: "
-                 "every host must submit the same program shape each step "
+        sys.exit("multi-host runs require --pad_frames/--pad_tokens: every "
+                 "host must submit the same program shape each step "
                  "(bucketed per-host padding would deadlock the SPMD "
                  "collectives)")
     bucket_kw = {}
@@ -230,24 +232,32 @@ def main(argv=None):
 
     # Multi-host lockstep: hosts own different shard subsets, so their
     # per-epoch batch counts differ — if one host exhausts its stream while
-    # the others submit another SPMD step, the collective deadlocks.  Agree
-    # once at startup on min-over-hosts batches/epoch and truncate every
-    # epoch to it (the shuffle reseeds per epoch, so different surplus
-    # examples are dropped each time).  Costs one metadata pass over the
-    # local shards.
+    # the others submit another SPMD step, the collective deadlocks.  The
+    # count uses a metadata-only shard scan (payloads skipped with seeks)
+    # and counts exactly the examples the bucketer will keep: anything over
+    # the --pad_frames/--pad_tokens bounds is dropped by bucket_batches, so
+    # counting raw records would over-estimate and still deadlock.
+    def _local_batches(split):
+        from rnnt_tpu.data import records as records_mod
+
+        kept = sum(
+            1 for d in records_mod.scan_lengths(
+                os.path.join(args.data_dir, f"{split}-*.rnr"),
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
+            if d.get("spec_lengths", 0) <= args.pad_frames
+            and d.get("label_lengths", 0) <= args.pad_tokens)
+        return -(-kept // args.batch_size)  # ceil: flush_partial
+
+    # Train: agree on min-over-hosts batches/epoch; every epoch truncates to
+    # it (the shuffle reseeds per epoch, so different surplus examples are
+    # dropped each time).
     steps_per_epoch = 0
     if jax.process_count() > 1 and args.mode == "train":
         from jax.experimental import multihost_utils
 
-        from rnnt_tpu.data import records as records_mod
-
-        n_local = sum(1 for _ in records_mod.read_shards(
-            os.path.join(args.data_dir, "train-*.rnr"),
-            process_index=jax.process_index(),
-            process_count=jax.process_count()))
-        local_batches = -(-n_local // args.batch_size)  # ceil: flush_partial
         counts = multihost_utils.process_allgather(
-            np.asarray(local_batches, np.int64))
+            np.asarray(_local_batches("train"), np.int64))
         steps_per_epoch = int(np.min(counts))
         if jax.process_index() == 0:
             print(f"multi-host lockstep: {steps_per_epoch} steps/epoch "
@@ -296,12 +306,48 @@ def main(argv=None):
                 print("eval/test requires --checkpoint (run_rnnt.py:550-551)")
                 sys.exit(1)
             split = "dev" if args.mode == "eval" else "test"
+            eval_stream = batches(split)()
+            if jax.process_count() > 1:
+                # Eval lockstep: per-host batch counts differ, and when the
+                # jitted eval/decode programs contain cross-host collectives
+                # (e.g. a model axis spanning processes) a host running out
+                # of batches early deadlocks the rest.  Hosts agree on the
+                # MAX count and short hosts submit dummy batches (num_real=0
+                # — no metric contribution) so every collective stays
+                # aligned; the static --pad_frames/--pad_tokens shapes
+                # (required under multi-host) keep the programs identical.
+                from jax.experimental import multihost_utils
+
+                mine = _local_batches(split)
+                counts = multihost_utils.process_allgather(
+                    np.asarray(mine, np.int64))
+                target = int(np.max(counts))
+
+                def dummy_batch():
+                    B, T, U = args.batch_size, args.pad_frames, args.pad_tokens
+                    return {
+                        "mel_specs": np.zeros(
+                            (B, T, cfg.input_feat_size), np.float32),
+                        "pred_inp": np.zeros((B, U + 1), np.int32),
+                        "labels": np.zeros((B, U), np.int32),
+                        "spec_lengths": np.ones((B,), np.int32),
+                        "label_lengths": np.zeros((B,), np.int32),
+                        "loss_weight": np.zeros((B,), np.float32),
+                        "num_real": np.int32(0),
+                    }
+
+                def locked(stream, n_local, n_target):
+                    yield from stream
+                    for _ in range(n_target - n_local):
+                        yield dummy_batch()
+
+                eval_stream = locked(eval_stream, mine, target)
             # loss_impl forwarded: eval at parity scale must not fall back to
             # a lattice-materializing loss (~26 GB logits at B=32/T'=384/
             # U+1=129/V=4096).  Metrics are aggregated across processes inside
             # run_evaluate; every process participates, process 0 reports.
             metrics = run_evaluate(
-                cfg, state, batches(split)(), tokenizer=tokenizer,
+                cfg, state, eval_stream, tokenizer=tokenizer,
                 decode=args.decode, loss_impl=args.loss_impl)
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))

@@ -473,6 +473,17 @@ def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
     """
     axis, data_axes = _ambient_tp_axis()
     w1 = joint_params["w1"]
+    if axis is not None:
+        import jax.sharding as jsh
+
+        mp = dict(jsh.get_abstract_mesh().shape)[axis]
+        if joint_params["w2"].shape[1] % mp != 0:
+            # Vocab not divisible by the model axis (e.g. the 31-symbol
+            # character tokenizer): the sharding rules left W2 replicated
+            # (parallel/mesh.py divisibility guard), so shard_map in_specs
+            # P(None, axis) would be ill-formed — take the GSPMD path, which
+            # round 1 ran fine at these sizes.
+            axis = None
     if axis is None:
         f = jnp.dot(enc, w1,
                     preferred_element_type=jnp.float32).astype(enc.dtype)

@@ -96,14 +96,19 @@ def data_dir(tmp_path_factory):
     root = tmp_path_factory.mktemp("mh_corpus")
     rng = np.random.default_rng(0)
     words = ["ab", "cd", "ef"]
-    for split, n in [("train-mini", 8), ("dev-mini", 4)]:
+    # dev: 12 utterances, the odd-indexed ones LONGER than --pad_frames so
+    # the bucketer drops them — per-host example counts then differ, which
+    # both the filtered lockstep count and eval's dummy-batch padding must
+    # absorb (a raw record count would deadlock the collectives)
+    for split, n in [("train-mini", 8), ("dev-mini", 12)]:
         d = root / split / "1" / "10"
         d.mkdir(parents=True)
         lines = []
         for i in range(n):
             utt = f"1-10-{i:04d}"
             ws = [words[int(rng.integers(len(words)))] for _ in range(2)]
-            audio = (rng.standard_normal(9600) * 0.1).astype(np.float32)
+            n_samp = 38400 if (split == "dev-mini" and i % 2) else 9600
+            audio = (rng.standard_normal(n_samp) * 0.1).astype(np.float32)
             write_wav(str(d / f"{utt}.wav"), audio, 16000)
             lines.append(f"{utt} {' '.join(w.upper() for w in ws)}")
         (d / "1-10.trans.txt").write_text("\n".join(lines) + "\n")
@@ -159,9 +164,13 @@ def test_two_process_train_resume_eval(data_dir, tmp_path):
     assert max(steps) == 3
 
     # --- phase 3: 2-process eval aggregates metrics across hosts ----------
+    # batch_size 2 so per-host batch COUNTS differ (the long dev utterances
+    # were dropped by the --pad_frames bound on some shards only): the short
+    # host must pad with num_real=0 dummy batches to keep every jitted call
+    # aligned across processes, without polluting the metrics.
     ev = ["--mode", "eval", "--data_dir", str(data_dir),
           "--output_dir", out_dir, "--checkpoint", out_dir,
-          "--batch_size", "8", "--no-bf16"] + PAD
+          "--batch_size", "2", "--no-bf16"] + PAD
     (rc0, out0), (rc1, out1) = _run_pair(ev, _free_port())
     assert rc0 == 0, out0
     assert rc1 == 0, out1

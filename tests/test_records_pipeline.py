@@ -221,3 +221,24 @@ def test_prefetch_abandoned_consumer_stops_producer():
     n = len(produced)
     time_mod.sleep(0.3)
     assert len(produced) == n, "producer still running after consumer close"
+
+
+def test_scan_lengths_matches_full_read(tmp_path):
+    """Metadata-only scan (payloads skipped with seeks) must report the same
+    per-example lengths as fully deserializing — it feeds the multi-host
+    lockstep batch counting."""
+    exs = [_ex(t=5 + i, u=1 + i % 3, seed=i) for i in range(7)]
+    records.write_shards(iter(exs), str(tmp_path / "s-{shard:05d}.rnr"),
+                         num_shards=3)
+    full = [(int(np.asarray(e["spec_lengths"]).item()),
+             int(np.asarray(e["label_lengths"]).item()))
+            for e in records.read_shards(str(tmp_path / "s-*.rnr"))]
+    scanned = [(d["spec_lengths"], d["label_lengths"])
+               for d in records.scan_lengths(str(tmp_path / "s-*.rnr"))]
+    assert scanned == full
+    # host-disjoint scan partitions exactly like read_shards
+    a = list(records.scan_lengths(str(tmp_path / "s-*.rnr"),
+                                  process_index=0, process_count=2))
+    b = list(records.scan_lengths(str(tmp_path / "s-*.rnr"),
+                                  process_index=1, process_count=2))
+    assert len(a) + len(b) == 7
