@@ -1,0 +1,44 @@
+"""Transcription server: HTTP batch endpoint + TCP streaming sessions.
+
+The serving surface the reference never had (its inference is local CLIs
+only — transcribe_file.py / streaming_transcribe.py's pyaudio loop):
+
+  python -m rnnt_tpu.cli.serve --checkpoint runs/ls100 \
+      [--host 0.0.0.0] [--http_port 8080] [--stream_port 8081]
+
+  curl -s -X POST --data-binary @audio.wav localhost:8080/transcribe
+  curl -s -X POST --data-binary @a.wav 'localhost:8080/transcribe?beam=4'
+  curl -s localhost:8080/info
+
+Streaming protocol (TCP :8081): send `u32 n | n bytes float32 PCM` frames,
+empty frame ends the stream; every frame is answered with
+`u32 m | JSON {"text", "final"}`.  See rnnt_tpu/serve.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--http_port", type=int, default=8080)
+    p.add_argument("--stream_port", type=int, default=8081)
+    args = p.parse_args(argv)
+
+    from rnnt_tpu.compile_cache import enable_compile_cache
+    from rnnt_tpu.serve import Server
+
+    enable_compile_cache()
+    srv = Server(args.checkpoint, host=args.host, http_port=args.http_port,
+                 stream_port=args.stream_port)
+    print(f"serving {args.checkpoint}: "
+          f"http://{args.host}:{srv.http_port} (POST /transcribe, /info), "
+          f"streaming tcp://{args.host}:{srv.stream_port}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

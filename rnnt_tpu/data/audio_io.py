@@ -17,8 +17,9 @@ from typing import Tuple
 import numpy as np
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a PCM WAV file -> (mono float32 [-1,1], sample_rate).
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a PCM WAV file (path or binary file-like object) ->
+    (mono float32 [-1,1], sample_rate).
 
     Matches tf.audio.decode_wav semantics: int PCM scaled by 1/32768 (16-bit),
     multi-channel reduced to channel 0 (preprocessing.py:18-19).

@@ -1,0 +1,238 @@
+"""Transcription serving: HTTP batch endpoint + TCP streaming sessions.
+
+The reference stops at local CLIs (SURVEY.md §1: "no server/serving layer —
+inference is batch transcribe_file.py or a local pyaudio loop"); production
+deployment needs a network surface.  This module is that surface, stdlib-
+only (http.server + socketserver), wrapping the same decode paths the CLIs
+use:
+
+- `POST /transcribe`  — WAV body -> {"text": ...} (greedy, or beam via
+  ?beam=K).  Utterance features are padded to power-of-two length buckets so
+  repeat requests of any duration reuse one compiled executable (same trick
+  as cli/transcribe_file).
+- `GET /healthz`, `GET /info` — liveness + model metadata.
+- TCP streaming port — one connection per stream, framed protocol:
+  client sends `u32 n | n bytes of float32 PCM` chunks (little-endian), an
+  empty frame (n=0) ends the stream; after every chunk the server replies
+  `u32 m | m bytes of UTF-8 JSON {"text": ..., "final": bool}`.  Each
+  connection gets its own StreamingTranscriber (carried LSTM state + primed
+  causal feature statistics, decode/streaming.py).
+
+Device access is serialized with a lock: decode latency is milliseconds
+(BASELINE.md), so a single chip serves many concurrent light sessions;
+scale-out is one process per chip behind any TCP load balancer.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from io import BytesIO
+from typing import Optional
+
+import numpy as np
+
+
+class TranscriptionService:
+    """Checkpoint -> reusable transcribe/stream entry points."""
+
+    def __init__(self, checkpoint_dir: str, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from rnnt_tpu.data.tokenizer import get_tokenizer
+        from rnnt_tpu.models.transducer import Transducer
+        from rnnt_tpu.train import checkpoint as ckpt_mod
+
+        self.cfg = ckpt_mod.load_config(checkpoint_dir)
+        self.tokenizer = get_tokenizer(
+            checkpoint_dir, self.cfg.token_type, self.cfg.vocab_size)
+        if dtype is None:
+            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
+        self.state = ckpt_mod.restore_checkpoint(checkpoint_dir, self.cfg,
+                                                 dtype)
+        self.model = Transducer(self.cfg)
+        self._decoders = {}
+        self._lock = threading.Lock()
+
+    def _decoder(self, beam: int, t_pad: int):
+        import jax
+        import jax.numpy as jnp
+
+        key = (beam, t_pad)
+        if key not in self._decoders:
+            if beam > 0:
+                from rnnt_tpu.decode.beam import beam_search_decode
+
+                @jax.jit
+                def fn(params, mel, sl):
+                    t, l, _ = beam_search_decode(
+                        self.model, params, mel, sl, beam_width=beam,
+                        max_output_length=256)
+                    return t, l
+            else:
+                from rnnt_tpu.decode.greedy import greedy_decode
+
+                @jax.jit
+                def fn(params, mel, sl):
+                    return greedy_decode(self.model, params, mel, sl,
+                                         max_output_length=256)
+            self._decoders[key] = fn
+        return self._decoders[key]
+
+    def transcribe(self, audio: np.ndarray, sample_rate: int,
+                   beam: int = 0) -> str:
+        import jax.numpy as jnp
+
+        from rnnt_tpu.ops import features as F
+
+        if sample_rate != self.cfg.sample_rate:
+            raise ValueError(f"expected {self.cfg.sample_rate} Hz audio, "
+                             f"got {sample_rate}")
+        mel = np.asarray(F.preprocess_audio(
+            jnp.asarray(audio, jnp.float32), self.cfg))
+        t = max(1, mel.shape[0])
+        t_pad = 1 << (t - 1).bit_length()  # power-of-two buckets
+        mel_p = np.zeros((1, t_pad, mel.shape[1]), np.float32)
+        mel_p[0, : mel.shape[0]] = mel
+        with self._lock:
+            tokens, lengths = self._decoder(beam, t_pad)(
+                self.state.params, jnp.asarray(mel_p),
+                jnp.asarray([t], jnp.int32))
+        ids = np.asarray(tokens[0])[: int(lengths[0])].tolist()
+        return self.tokenizer.decode(ids)
+
+    def new_stream(self):
+        from rnnt_tpu.decode.streaming import StreamingTranscriber
+
+        return StreamingTranscriber(self.cfg, self.state.params,
+                                    self.tokenizer)
+
+    def info(self) -> dict:
+        import jax
+
+        return {
+            "model": "rnnt",
+            "vocab_size": self.cfg.vocab_size,
+            "token_type": self.cfg.token_type,
+            "sample_rate": self.cfg.sample_rate,
+            "step": int(np.asarray(self.state.step)),
+            "backend": jax.default_backend(),
+        }
+
+
+def _http_handler(service: TranscriptionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/info":
+                self._json(200, service.info())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/transcribe":
+                self._json(404, {"error": f"no route {url.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                beam = int(parse_qs(url.query).get("beam", ["0"])[0])
+                from rnnt_tpu.data.audio_io import read_wav
+
+                audio, sr = read_wav(BytesIO(body))
+                text = service.transcribe(audio, sr, beam=beam)
+                self._json(200, {"text": text})
+            except Exception as ex:  # noqa: BLE001 — surface to the client
+                self._json(400, {"error": f"{type(ex).__name__}: {ex}"})
+
+    return Handler
+
+
+def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        part = conn.recv(n - len(buf))
+        if not part:
+            return None
+        buf += part
+    return buf
+
+
+def _stream_handler(service: TranscriptionService):
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            st = service.new_stream()
+            conn = self.request
+            while True:
+                hdr = _recv_exact(conn, 4)
+                if hdr is None:
+                    return  # client went away
+                (n,) = struct.unpack("<I", hdr)
+                if n == 0:
+                    text, final = st.flush(), True
+                else:
+                    payload = _recv_exact(conn, n)
+                    if payload is None:
+                        return
+                    samples = np.frombuffer(payload, dtype="<f4")
+                    text, final = st.process_chunk(samples), False
+                reply = json.dumps({"text": text, "final": final}).encode()
+                conn.sendall(struct.pack("<I", len(reply)) + reply)
+                if final:
+                    return
+
+    return Handler
+
+
+class Server:
+    """HTTP + streaming-TCP servers sharing one TranscriptionService."""
+
+    def __init__(self, checkpoint_dir: str, host: str = "127.0.0.1",
+                 http_port: int = 8080, stream_port: int = 8081):
+        self.service = TranscriptionService(checkpoint_dir)
+        self.http = ThreadingHTTPServer((host, http_port),
+                                        _http_handler(self.service))
+        self.stream = socketserver.ThreadingTCPServer(
+            (host, stream_port), _stream_handler(self.service),
+            bind_and_activate=False)
+        self.stream.daemon_threads = True
+        self.stream.allow_reuse_address = True
+        self.stream.server_bind()
+        self.stream.server_activate()
+        self.http_port = self.http.server_address[1]
+        self.stream_port = self.stream.server_address[1]
+
+    def serve_background(self):
+        for srv in (self.http, self.stream):
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def serve_forever(self):
+        self.serve_background()
+        threading.Event().wait()  # park the main thread
+
+    def shutdown(self):
+        self.http.shutdown()
+        self.stream.shutdown()
+        self.http.server_close()
+        self.stream.server_close()

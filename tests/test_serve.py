@@ -1,0 +1,155 @@
+"""Serving surface: HTTP transcribe/info/healthz + framed TCP streaming.
+
+Drives rnnt_tpu.serve end-to-end in-process against a saved checkpoint of
+the overfit tone-audio model, with real sockets (loopback) — the network
+serving layer the reference never had.
+"""
+
+import http.client
+import io
+import json
+import socket
+import struct
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from rnnt_tpu.data.tokenizer import CharTokenizer
+from rnnt_tpu.train import checkpoint as ckpt_mod
+
+pytestmark = pytest.mark.slow  # overfit-trains a model, opens servers
+
+
+def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from tests.test_beam_stream_ckpt import CFG, _tone_utterances
+    from rnnt_tpu.ops import features as F
+    from rnnt_tpu.serve import Server
+    from rnnt_tpu.train.state import create_train_state
+    from rnnt_tpu.train.steps import make_train_step
+    import jax.numpy as jnp
+
+    tok = CharTokenizer()
+    cfg = CFG.replace(vocab_size=tok.vocab_size, mel_bins=8,
+                      encoder_size=32, pred_net_size=32, learning_rate=0.05)
+    utts = _tone_utterances()
+    mels = [np.asarray(F.preprocess_audio(jnp.asarray(a), cfg))
+            for a, _, _ in utts]
+    labels = [tok.encode(t) for _, _, t in utts]
+    T = max(m.shape[0] for m in mels)
+    U = max(len(l) for l in labels)
+    B = len(utts)
+    mel_b = np.zeros((B, T, cfg.input_feat_size), np.float32)
+    lab_b = np.zeros((B, U), np.int32)
+    sl, ll = np.zeros(B, np.int32), np.zeros(B, np.int32)
+    for i, (m, l) in enumerate(zip(mels, labels)):
+        mel_b[i, : m.shape[0]] = m
+        lab_b[i, : len(l)] = l
+        sl[i], ll[i] = m.shape[0], len(l)
+    batch = {
+        "mel_specs": jnp.asarray(mel_b),
+        "pred_inp": jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.asarray(lab_b)], 1),
+        "labels": jnp.asarray(lab_b),
+        "spec_lengths": jnp.asarray(sl),
+        "label_lengths": jnp.asarray(ll),
+    }
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, donate=False)
+    key = jax.random.PRNGKey(2)
+    for _ in range(600):
+        key, sub = jax.random.split(key)
+        new_state, m = step(state, batch, sub)
+        if float(m["loss"]) < 0.05:
+            break
+        state = new_state
+    assert float(m["loss"]) < 0.5
+
+    ckpt = str(tmp_path_factory.mktemp("serve_ckpt"))
+    ckpt_mod.save_checkpoint(ckpt, state, cfg)
+    tok.save(ckpt)
+
+    srv = Server(ckpt, http_port=0, stream_port=0)  # ephemeral ports
+    srv.serve_background()
+    yield srv, utts
+    srv.shutdown()
+
+
+def test_http_transcribe_and_info(served):
+    srv, utts = served
+    conn = http.client.HTTPConnection("127.0.0.1", srv.http_port, timeout=120)
+
+    conn.request("GET", "/healthz")
+    assert json.loads(conn.getresponse().read()) == {"ok": True}
+
+    conn.request("GET", "/info")
+    info = json.loads(conn.getresponse().read())
+    assert info["sample_rate"] == 16000 and info["token_type"] == "character"
+
+    # the overfit model reads most utterances back exactly (greedy can
+    # still miss one — assert the set, not a single anecdote)
+    results = []
+    for audio, sr, ref in utts:
+        conn.request("POST", "/transcribe", body=_wav_bytes(audio, sr))
+        r = conn.getresponse()
+        assert r.status == 200
+        results.append((ref, json.loads(r.read())["text"]))
+    exact = [(ref, txt) for ref, txt in results if ref == txt]
+    assert len(exact) >= 3, results
+
+    # beam query param routes through beam search
+    audio, sr, ref = next(u for u in utts if u[2] == exact[0][0])
+    conn.request("POST", "/transcribe?beam=2", body=_wav_bytes(audio, sr))
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["text"] == ref
+
+    # malformed body -> structured 400, server stays up
+    conn.request("POST", "/transcribe", body=b"not a wav")
+    r = conn.getresponse()
+    assert r.status == 400
+    assert "error" in json.loads(r.read())
+    conn.request("GET", "/healthz")
+    assert conn.getresponse().status == 200
+
+
+def test_tcp_streaming_session(served):
+    srv, utts = served
+    audio, sr, ref = utts[1]
+    s = socket.create_connection(("127.0.0.1", srv.stream_port), timeout=120)
+
+    def roundtrip(payload: bytes) -> dict:
+        s.sendall(struct.pack("<I", len(payload)) + payload)
+        (m,) = struct.unpack("<I", _recv(s, 4))
+        return json.loads(_recv(s, m))
+
+    def _recv(sock, n):
+        buf = b""
+        while len(buf) < n:
+            part = sock.recv(n - len(buf))
+            assert part, "server closed mid-frame"
+            buf += part
+        return buf
+
+    chunk = 1600
+    last = {}
+    for off in range(0, len(audio), chunk):
+        last = roundtrip(np.asarray(
+            audio[off: off + chunk], "<f4").tobytes())
+        assert last["final"] is False
+    final = roundtrip(b"")  # empty frame = end of stream
+    assert final["final"] is True
+    assert final["text"] == ref  # streamed decode reads the utterance back
+    s.close()
