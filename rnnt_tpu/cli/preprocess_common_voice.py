@@ -28,6 +28,8 @@ def main():
                         "corpora whose BPE saturates early)")
     p.add_argument("--max_length", type=float, default=17.0)
     p.add_argument("--num_shards", type=int, default=8)
+    p.add_argument("--workers", type=int, default=1,
+                   help="featurization worker processes (1 = in-process)")
     args = p.parse_args()
 
     if not os.path.isdir(args.data_dir):
@@ -44,9 +46,15 @@ def main():
     cfg.save(args.output_dir)
 
     for split in args.splits:
-        stream = pipeline.preprocess_corpus(
-            common_voice.load_dataset(args.data_dir, split), tok, cfg,
-            max_length_seconds=args.max_length)
+        if args.workers > 1:
+            stream = pipeline.preprocess_corpus_parallel(
+                common_voice.iter_utterance_files(args.data_dir, split),
+                args.output_dir, cfg, workers=args.workers,
+                max_length_seconds=args.max_length)
+        else:
+            stream = pipeline.preprocess_corpus(
+                common_voice.load_dataset(args.data_dir, split), tok, cfg,
+                max_length_seconds=args.max_length)
         pattern = os.path.join(
             args.output_dir, split + "-{shard:05d}-of-{total:05d}.rnr")
         paths = records.write_shards(stream, pattern, args.num_shards)

@@ -39,6 +39,9 @@ def main():
                    help="drop utterances longer than this many seconds "
                         "(preprocessing.py:264-266)")
     p.add_argument("--num_shards", type=int, default=8)
+    p.add_argument("--workers", type=int, default=1,
+                   help="featurization worker processes (decode+STFT+mel+"
+                        "tokenize scale with host cores; 1 = in-process)")
     args = p.parse_args()
 
     if not os.path.isdir(args.data_dir):
@@ -57,9 +60,15 @@ def main():
     for name, splits in [("train", args.train_splits),
                          ("dev", args.dev_splits),
                          ("test", args.test_splits)]:
-        stream = pipeline.preprocess_corpus(
-            librispeech.load_dataset(args.data_dir, splits), tok, cfg,
-            max_length_seconds=args.max_length)
+        if args.workers > 1:
+            stream = pipeline.preprocess_corpus_parallel(
+                librispeech.iter_utterance_files(args.data_dir, splits),
+                args.output_dir, cfg, workers=args.workers,
+                max_length_seconds=args.max_length)
+        else:
+            stream = pipeline.preprocess_corpus(
+                librispeech.load_dataset(args.data_dir, splits), tok, cfg,
+                max_length_seconds=args.max_length)
         pattern = os.path.join(
             args.output_dir, name + "-{shard:05d}-of-{total:05d}.rnr")
         paths = records.write_shards(stream, pattern, args.num_shards)

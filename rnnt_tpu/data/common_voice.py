@@ -31,11 +31,18 @@ def _rows(base_path: str, split: str) -> Iterator[Tuple[str, str]]:
             yield os.path.join(base_path, "clips", stem + ".wav"), text
 
 
+def iter_utterance_files(base_path: str, split: str
+                         ) -> Iterator[Tuple[str, str]]:
+    """Yield (wav_path, transcript) for rows whose audio exists (the
+    parallel preprocessing path ships these to worker processes)."""
+    for wav_path, text in _rows(base_path, split):
+        if os.path.exists(wav_path):
+            yield wav_path, text
+
+
 def load_dataset(base_path: str, split: str
                  ) -> Iterator[Tuple[np.ndarray, int, str]]:
-    for wav_path, text in _rows(base_path, split):
-        if not os.path.exists(wav_path):
-            continue
+    for wav_path, text in iter_utterance_files(base_path, split):
         audio, sr = audio_io.read_audio(wav_path)
         yield audio, sr, text
 

@@ -48,18 +48,25 @@ def _iter_lines(base_path: str, split_names: Sequence[str]
                 yield os.path.join(ch_dir, utt_id + ".flac"), text
 
 
-def load_dataset(base_path: str, split_names: Sequence[str]
-                 ) -> Iterator[Tuple[np.ndarray, int, str]]:
-    """Stream (audio float32, sr, transcript) (ref: librispeech.py:66-74).
-
-    Falls back to .wav next to the .flac (for pre-converted corpora)."""
+def iter_utterance_files(base_path: str, split_names: Sequence[str]
+                         ) -> Iterator[Tuple[str, str]]:
+    """Yield (resolved_audio_path, transcript); .flac falls back to .wav
+    (pre-converted corpora), missing files are skipped.  The parallel
+    preprocessing path ships these pairs to worker processes instead of
+    decoded audio."""
     for audio_path, text in _iter_lines(base_path, split_names):
         if not os.path.exists(audio_path):
             wav = audio_path[:-5] + ".wav"
-            if os.path.exists(wav):
-                audio_path = wav
-            else:
+            if not os.path.exists(wav):
                 continue
+            audio_path = wav
+        yield audio_path, text
+
+
+def load_dataset(base_path: str, split_names: Sequence[str]
+                 ) -> Iterator[Tuple[np.ndarray, int, str]]:
+    """Stream (audio float32, sr, transcript) (ref: librispeech.py:66-74)."""
+    for audio_path, text in iter_utterance_files(base_path, split_names):
         audio, sr = audio_io.read_audio(audio_path)
         yield audio, sr, text
 

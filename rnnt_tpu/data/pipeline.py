@@ -59,6 +59,66 @@ def preprocess_corpus(utterances: Iterable[Tuple[np.ndarray, int, str]],
             yield ex
 
 
+_PP_STATE: Dict = {}  # per-worker-process preprocessing context
+
+
+def _pp_worker_init(sidecar_dir: str, token_type: str, vocab_size: int,
+                    max_length_seconds: float) -> None:
+    import os as os_mod
+
+    os_mod.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from rnnt_tpu.config import RNNTConfig
+    from rnnt_tpu.data.tokenizer import get_tokenizer
+
+    _PP_STATE["cfg"] = RNNTConfig.load(sidecar_dir)
+    _PP_STATE["tok"] = get_tokenizer(sidecar_dir, token_type, vocab_size)
+    _PP_STATE["max_s"] = max_length_seconds
+
+
+def _pp_one(pair) -> Optional[Dict]:
+    path, text = pair
+    from rnnt_tpu.data import audio_io
+
+    try:
+        audio, sr = audio_io.read_audio(path)
+    except (FileNotFoundError, ValueError, EOFError):
+        return None  # unreadable file: skip, like the serial path
+    if _PP_STATE["max_s"] > 0 and len(audio) > sr * _PP_STATE["max_s"]:
+        return None
+    return preprocess_utterance(audio, sr, text, _PP_STATE["tok"],
+                                _PP_STATE["cfg"])
+
+
+def preprocess_corpus_parallel(file_text_pairs, sidecar_dir: str,
+                               cfg: RNNTConfig, *, workers: int,
+                               max_length_seconds: float = 0.0
+                               ) -> Iterator[Dict]:
+    """Featurize a corpus with a process pool: (audio_path, transcript)
+    pairs ship to workers which decode + featurize + tokenize.
+
+    The serial path featurizes one utterance at a time on one core —
+    hours for a real LibriSpeech-scale corpus; this scales with host cores.
+    `imap` (ordered) keeps the output example order identical to the serial
+    path, so shard contents stay byte-reproducible (test-pinned).
+
+    Requires cfg + tokenizer sidecars already saved under `sidecar_dir`
+    (the preprocess CLIs write them before the split loop).
+    """
+    import multiprocessing as mp
+    import os as os_mod
+
+    # spawn-ed workers re-run sitecustomize: make sure none of them dials
+    # the single-client TPU tunnel (pure-CPU featurization)
+    os_mod.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers, initializer=_pp_worker_init,
+                  initargs=(sidecar_dir, cfg.token_type, cfg.vocab_size,
+                            max_length_seconds)) as pool:
+        for ex in pool.imap(_pp_one, file_text_pairs, chunksize=4):
+            if ex is not None:
+                yield ex
+
+
 def _round_up(n: int, sizes: Sequence[int]) -> int:
     i = bisect.bisect_left(sizes, n)
     return sizes[i] if i < len(sizes) else sizes[-1]

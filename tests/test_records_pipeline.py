@@ -242,3 +242,45 @@ def test_scan_lengths_matches_full_read(tmp_path):
     b = list(records.scan_lengths(str(tmp_path / "s-*.rnr"),
                                   process_index=1, process_count=2))
     assert len(a) + len(b) == 7
+
+
+@pytest.mark.slow
+def test_parallel_preprocess_matches_serial(tmp_path):
+    """--workers N featurization must produce byte-identical examples in the
+    same order as the serial path (imap keeps corpus order; workers load +
+    featurize + tokenize with the same sidecar config/tokenizer)."""
+    from rnnt_tpu.data import librispeech, pipeline
+    from rnnt_tpu.data.tokenizer import CharTokenizer
+
+    # tiny LibriSpeech-layout corpus
+    root = tmp_path / "corpus"
+    d = root / "mini" / "1" / "2"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(6):
+        utt = f"1-2-{i:04d}"
+        audio = (rng.standard_normal(8000 + 1600 * i) * 0.1).astype(np.float32)
+        write_wav(str(d / f"{utt}.wav"), audio, 16000)
+        lines.append(f"{utt} AB CD")
+    (d / "1-2.trans.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = tiny_config(mel_bins=8)
+    tok = CharTokenizer()
+    sidecar = tmp_path / "sidecar"
+    sidecar.mkdir()
+    cfg = cfg.replace(vocab_size=tok.vocab_size, token_type="character")
+    cfg.save(str(sidecar))
+    tok.save(str(sidecar))
+
+    serial = list(pipeline.preprocess_corpus(
+        librispeech.load_dataset(str(root), ["mini"]), tok, cfg,
+        max_length_seconds=1.0))
+    par = list(pipeline.preprocess_corpus_parallel(
+        librispeech.iter_utterance_files(str(root), ["mini"]),
+        str(sidecar), cfg, workers=2, max_length_seconds=1.0))
+    assert len(serial) == len(par) and len(serial) > 0
+    for a, b in zip(serial, par):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
