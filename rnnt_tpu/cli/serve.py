@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--http_port", type=int, default=8080)
     p.add_argument("--stream_port", type=int, default=8081)
+    p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ",
+                   help="serve from an int8 cli.quantize_model artifact")
     args = p.parse_args(argv)
 
     from rnnt_tpu.compile_cache import enable_compile_cache
@@ -33,7 +35,7 @@ def main(argv=None):
 
     enable_compile_cache()
     srv = Server(args.checkpoint, host=args.host, http_port=args.http_port,
-                 stream_port=args.stream_port)
+                 stream_port=args.stream_port, quantized=args.quantized)
     print(f"serving {args.checkpoint}: "
           f"http://{args.host}:{srv.http_port} (POST /transcribe, /info), "
           f"streaming tcp://{args.host}:{srv.stream_port}")

@@ -38,9 +38,13 @@ import numpy as np
 
 
 class TranscriptionService:
-    """Checkpoint -> reusable transcribe/stream entry points."""
+    """Checkpoint -> reusable transcribe/stream entry points.
 
-    def __init__(self, checkpoint_dir: str, dtype=None):
+    quantized: path to a cli.quantize_model int8 artifact — serve from the
+    3.85x-smaller weights (measured zero WER delta, BASELINE.md)."""
+
+    def __init__(self, checkpoint_dir: str, dtype=None,
+                 quantized: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -56,6 +60,13 @@ class TranscriptionService:
                      else jnp.float32)
         self.state = ckpt_mod.restore_checkpoint(checkpoint_dir, self.cfg,
                                                  dtype)
+        self.quantized = bool(quantized)
+        if quantized:
+            from rnnt_tpu.ops.quantize import dequantize_params, load_quantized
+
+            q = load_quantized(quantized, self.state.params)
+            self.state = self.state._replace(
+                params=dequantize_params(q, dtype))
         self.model = Transducer(self.cfg)
         self._decoders = {}
         self._lock = threading.Lock()
@@ -122,6 +133,7 @@ class TranscriptionService:
             "token_type": self.cfg.token_type,
             "sample_rate": self.cfg.sample_rate,
             "step": int(np.asarray(self.state.step)),
+            "quantized": self.quantized,
             "backend": jax.default_backend(),
         }
 
@@ -209,8 +221,10 @@ class Server:
     """HTTP + streaming-TCP servers sharing one TranscriptionService."""
 
     def __init__(self, checkpoint_dir: str, host: str = "127.0.0.1",
-                 http_port: int = 8080, stream_port: int = 8081):
-        self.service = TranscriptionService(checkpoint_dir)
+                 http_port: int = 8080, stream_port: int = 8081,
+                 quantized: Optional[str] = None):
+        self.service = TranscriptionService(checkpoint_dir,
+                                            quantized=quantized)
         self.http = ThreadingHTTPServer((host, http_port),
                                         _http_handler(self.service))
         self.stream = socketserver.ThreadingTCPServer(

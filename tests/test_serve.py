@@ -153,3 +153,31 @@ def test_tcp_streaming_session(served):
     assert final["final"] is True
     assert final["text"] == ref  # streamed decode reads the utterance back
     s.close()
+
+
+def test_serve_quantized_weights(served, tmp_path):
+    """Serving from the int8 artifact: same transcripts as fp serving."""
+    from rnnt_tpu.ops.quantize import quantize_params, save_quantized
+    from rnnt_tpu.serve import TranscriptionService
+
+    srv, utts = served
+    # quantize the served checkpoint's params
+    q = quantize_params(srv.service.state.params)
+    qpath = str(tmp_path / "model_int8.npz")
+    save_quantized(qpath, q)
+
+    # rebuild a service over the same checkpoint dir + int8 artifact
+    ckpt_dir = None
+    # the fixture saved the checkpoint under tmp_path_factory; recover it
+    # from the service's tokenizer side: re-save is simpler
+    from rnnt_tpu.train import checkpoint as ckpt_mod
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckpt_mod.save_checkpoint(ckpt_dir, srv.service.state, srv.service.cfg)
+    srv.service.tokenizer.save(ckpt_dir)
+
+    qs = TranscriptionService(ckpt_dir, quantized=qpath)
+    assert qs.info()["quantized"] is True
+    fp_texts = [srv.service.transcribe(a, sr) for a, sr, _ in utts]
+    q_texts = [qs.transcribe(a, sr) for a, sr, _ in utts]
+    assert q_texts == fp_texts
