@@ -283,15 +283,55 @@ def main(argv=None):
             yield from out
         return gen
 
+    def lockstep_eval_batches(split):
+        """Collective-aligned eval stream for multi-host: per-host batch
+        counts differ, and when the jitted eval/decode programs contain
+        cross-host collectives (e.g. a model axis spanning processes) a
+        host running out of batches early deadlocks the rest.  Hosts agree
+        once on the MAX count and short hosts submit dummy batches
+        (num_real=0 — no metric contribution) so every collective stays
+        aligned; the static --pad_frames/--pad_tokens shapes (required
+        under multi-host) keep the programs identical."""
+        from jax.experimental import multihost_utils
+
+        mine = _local_batches(split)
+        counts = multihost_utils.process_allgather(
+            np.asarray(mine, np.int64))
+        target = int(np.max(counts))
+
+        def dummy_batch():
+            B, T, U = args.batch_size, args.pad_frames, args.pad_tokens
+            return {
+                "mel_specs": np.zeros(
+                    (B, T, cfg.input_feat_size), np.float32),
+                "pred_inp": np.zeros((B, U + 1), np.int32),
+                "labels": np.zeros((B, U), np.int32),
+                "spec_lengths": np.ones((B,), np.int32),
+                "label_lengths": np.zeros((B,), np.int32),
+                "loss_weight": np.zeros((B,), np.float32),
+                "num_real": np.int32(0),
+            }
+
+        def gen(epoch=0):
+            n = 0
+            for b in batches(split)():
+                n += 1
+                yield b
+            for _ in range(target - n):
+                yield dummy_batch()
+        return gen
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
+    multihost = jax.process_count() > 1
     with jax.sharding.set_mesh(mesh):
         if args.mode == "train":
             run_training(
                 cfg, state, batches("train", shuffle=True),
                 output_dir=args.output_dir,
-                eval_batches_fn=batches("dev"),
+                eval_batches_fn=(lockstep_eval_batches("dev") if multihost
+                                 else batches("dev")),
                 tokenizer=tokenizer,
                 n_epochs=args.n_epochs,
                 steps_per_log=args.steps_per_log,
@@ -300,48 +340,15 @@ def main(argv=None):
                 shard_batch=shard_batch,
                 loss_impl=args.loss_impl,
                 ckpt_backend=args.ckpt_backend,
+                eval_multihost=multihost,
             )
         else:
             if not args.checkpoint:
                 print("eval/test requires --checkpoint (run_rnnt.py:550-551)")
                 sys.exit(1)
             split = "dev" if args.mode == "eval" else "test"
-            eval_stream = batches(split)()
-            if jax.process_count() > 1:
-                # Eval lockstep: per-host batch counts differ, and when the
-                # jitted eval/decode programs contain cross-host collectives
-                # (e.g. a model axis spanning processes) a host running out
-                # of batches early deadlocks the rest.  Hosts agree on the
-                # MAX count and short hosts submit dummy batches (num_real=0
-                # — no metric contribution) so every collective stays
-                # aligned; the static --pad_frames/--pad_tokens shapes
-                # (required under multi-host) keep the programs identical.
-                from jax.experimental import multihost_utils
-
-                mine = _local_batches(split)
-                counts = multihost_utils.process_allgather(
-                    np.asarray(mine, np.int64))
-                target = int(np.max(counts))
-
-                def dummy_batch():
-                    B, T, U = args.batch_size, args.pad_frames, args.pad_tokens
-                    return {
-                        "mel_specs": np.zeros(
-                            (B, T, cfg.input_feat_size), np.float32),
-                        "pred_inp": np.zeros((B, U + 1), np.int32),
-                        "labels": np.zeros((B, U), np.int32),
-                        "spec_lengths": np.ones((B,), np.int32),
-                        "label_lengths": np.zeros((B,), np.int32),
-                        "loss_weight": np.zeros((B,), np.float32),
-                        "num_real": np.int32(0),
-                    }
-
-                def locked(stream, n_local, n_target):
-                    yield from stream
-                    for _ in range(n_target - n_local):
-                        yield dummy_batch()
-
-                eval_stream = locked(eval_stream, mine, target)
+            eval_stream = (lockstep_eval_batches(split)() if multihost
+                           else batches(split)())
             # loss_impl forwarded: eval at parity scale must not fall back to
             # a lattice-materializing loss (~26 GB logits at B=32/T'=384/
             # U+1=129/V=4096).  Metrics are aggregated across processes inside

@@ -158,6 +158,7 @@ def run_training(
     shard_batch: Optional[Callable[[Dict], Dict]] = None,
     loss_impl: str = "fused",
     ckpt_backend: str = "auto",
+    eval_multihost: bool = False,
 ) -> TrainState:
     """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
     (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
@@ -194,15 +195,23 @@ def run_training(
         if int(np.asarray(state.step)) == last_saved_step[0]:
             return
         last_saved_step[0] = int(np.asarray(state.step))
-        if eval_batches_fn is not None and jax.process_count() == 1:
+        # Multi-host periodic eval requires a COLLECTIVE-ALIGNED stream:
+        # every host must submit the same number of identically-shaped
+        # jitted calls (the CLI provides this via static pad shapes + dummy
+        # num_real=0 batches on short hosts and sets eval_multihost=True).
+        # Without that guarantee a host-local pipeline would desync any
+        # cross-host collective — skip rather than deadlock.
+        if eval_batches_fn is not None and (
+                jax.process_count() == 1 or eval_multihost):
             t0 = time.time()
             metrics = run_evaluate(
                 cfg, state, eval_batches_fn(), tokenizer=tokenizer,
                 eval_step=eval_step, max_batches=eval_max_batches)
             metrics["eval_seconds"] = time.time() - t0
-            writer.scalars(int(np.asarray(state.step)), metrics)
-            print(f"step {int(np.asarray(state.step))}: " +
-                  " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+            if jax.process_index() == 0:
+                writer.scalars(int(np.asarray(state.step)), metrics)
+                print(f"step {int(np.asarray(state.step))}: " +
+                      " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
         elif eval_batches_fn is not None and jax.process_index() == 0:
             print("multi-host: periodic eval skipped (host-local pipeline); "
                   "run --mode eval after training")

@@ -3,7 +3,7 @@ drives run_rnnt train -> orbax collective checkpoint -> resume -> eval.
 
 This executes the paths that only exist when jax.process_count() > 1 —
 disjoint per-host shard reading, make_array_from_process_local_data batch
-assembly, the multihost periodic-eval skip, lockstep steps/epoch agreement,
+assembly, collective-aligned periodic eval, lockstep steps/epoch agreement,
 collective orbax saves, and cross-host eval-metric aggregation — none of
 which the in-process 8-device mesh tests can reach (tests/conftest.py forces
 a single process).  The reference has no multi-machine story at all
@@ -138,9 +138,13 @@ def test_two_process_train_resume_eval(data_dir, tmp_path):
     (rc0, out0), (rc1, out1) = _run_pair(common, _free_port())
     assert rc0 == 0, out0
     assert rc1 == 0, out1
-    # lockstep agreement and the multihost eval-skip branch both ran
+    # lockstep agreement ran, and periodic eval now RUNS under multi-host
+    # (collective-aligned dummy-padded dev stream) instead of being skipped
     assert "multi-host lockstep: 1 steps/epoch" in out0, out0
-    assert "multi-host: periodic eval skipped" in out0, out0
+    assert "multi-host: periodic eval skipped" not in out0, out0
+    assert "eval_loss=" in out0, out0  # training-time quality signal
+    # only process 0 prints the aggregated metrics
+    assert "eval_loss=" not in out1, out1
     # collective orbax checkpoint exists (auto backend picks orbax when
     # process_count > 1)
     ckpts = [p for p in os.listdir(out_dir) if p.endswith(".orbax")]
