@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import rnnt_tpu.ops.rnnt_loss_ref as ref
-from rnnt_tpu.ops.joint_loss_fused import _compute_planes
+from rnnt_tpu.ops.joint_loss_fused import (
+    _ambient_tp_axis, _compute_planes, combine_tp_planes, shift_labels_tp)
 
 NEG = ref.NEG
 _T_TILE = 8  # t rows per band window (matches the planes kernel's Tt)
@@ -80,7 +81,8 @@ def _scatter_band(banded, u0_full, U1):
     return jnp.where((w >= 0) & (w < W), vals, NEG)
 
 
-def _banded_planes(f, g, b1, w2, b2, labels, label_lengths, u0, band):
+def _banded_planes(f, g, b1, w2, b2, labels, label_lengths, u0, band,
+                   axis=None):
     """Banded denom/b/e planes: (denom_band, b_full, e_full, labels_pad)."""
     B, T, J = f.shape
     U1 = g.shape[1]
@@ -102,8 +104,12 @@ def _banded_planes(f, g, b1, w2, b2, labels, label_lengths, u0, band):
     g_rows = g_band.reshape(B * nT, band, J)
     y_rows = y_band.reshape(B * nT, band)
 
+    if axis is not None:  # vocab-sharded w2: local label coords + combine
+        y_rows = shift_labels_tp(y_rows, w2, axis)
     denom, blank, emit = _compute_planes(f_rows, g_rows, y_rows, b1, w2, b2,
                                          Tt=_T_TILE)
+    if axis is not None:
+        denom, blank, emit = combine_tp_planes(denom, blank, emit, axis)
     def unrows(x):  # [B*nT, Tt, W] -> [B, T, W]
         return x.reshape(B, nT * _T_TILE, band)[:, :T]
     denom_b, blank_b, emit_b = unrows(denom), unrows(blank), unrows(emit)
@@ -119,12 +125,13 @@ def _banded_planes(f, g, b1, w2, b2, labels, label_lengths, u0, band):
     return denom_b, b_full, e_full, labels_pad, u0_full
 
 
-def _forward(band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+def _forward(band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths,
+             axis=None):
     B, T, J = f.shape
     U1 = g.shape[1]  # already padded to a multiple of 8 by the wrapper
     u0 = band_starts(logit_lengths, label_lengths, T, U1, band)
     denom_b, b, e, labels_pad, u0_full = _banded_planes(
-        f, g, b1, w2, b2, labels, label_lengths, u0, band)
+        f, g, b1, w2, b2, labels, label_lengths, u0, band, axis=axis)
     alpha = ref._alpha_scan(b, e)
     beta = ref._beta_scan(b, e, logit_lengths, label_lengths)
     ll = beta[:, 0, 0]
@@ -158,32 +165,49 @@ def rnnt_loss_banded(f, g, b1, w2, b2, labels, logit_lengths, label_lengths,
                         label_lengths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _banded_call(band, f, g, b1, w2, b2, labels, logit_lengths,
-                 label_lengths):
-    loss, _ = _forward(band, f, g, b1, w2, b2, labels, logit_lengths,
-                       label_lengths)
-    return loss
+@functools.lru_cache(maxsize=None)
+def _make_banded_call(axis):
+    """custom_vjp'd banded loss; axis = mesh axis w2/b2 are vocab-sharded
+    over (None = single shard).  Same TP contract as joint_loss_fused."""
 
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+    def call(band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+        loss, _ = _forward(band, f, g, b1, w2, b2, labels, logit_lengths,
+                           label_lengths, axis=axis)
+        return loss
 
-def _fwd(band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
-    loss, (denom_b, b, e, alpha, beta, ll, u0_full) = _forward(
-        band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths)
-    res = (f, g, b1, w2, b2, denom_b, b, e, alpha, beta, ll, u0_full,
-           labels, logit_lengths, label_lengths)
-    return loss, res
+    def fwd(band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths):
+        loss, (denom_b, b, e, alpha, beta, ll, u0_full) = _forward(
+            band, f, g, b1, w2, b2, labels, logit_lengths, label_lengths,
+            axis=axis)
+        res = (f, g, b1, w2, b2, denom_b, b, e, alpha, beta, ll, u0_full,
+               labels, logit_lengths, label_lengths)
+        return loss, res
+
+    call.defvjp(fwd, functools.partial(_bwd, axis=axis))
+    return call
 
 
 _BWD_CHUNK = 8
 
 
-def _bwd(band, res, ct):
+def _bwd(band, res, ct, axis=None):
     (f, g, b1, w2, b2, denom_b, b, e, alpha, beta, ll, u0_full,
      labels, logit_lengths, label_lengths) = res
     B, T, J = f.shape
     U1 = g.shape[1]
-    V = w2.shape[1]
+    V = w2.shape[1]  # LOCAL vocab width under tensor parallelism
     W = denom_b.shape[-1]
+    if axis is not None:
+        shard = jax.lax.axis_index(axis)
+        blank_own = (shard == 0).astype(jnp.float32)
+        y_off = shard * V
+        # check_vma=False shard_map splits the replicated-output cotangent
+        # across model shards; undo it — grads below are per-shard PARTIALS
+        # completed by the boundary-transpose psums (see joint_loss_fused)
+        ct = ct * jax.lax.psum(1, axis)
+    else:
+        blank_own, y_off = 1.0, 0
 
     t_idx = jnp.arange(T)[None, :, None]
     u_idx = jnp.arange(U1)[None, None, :]
@@ -227,9 +251,10 @@ def _bwd(band, res, ct):
         logits = jnp.dot(hb, w2, preferred_element_type=jnp.float32) \
             + b2.astype(jnp.float32)
         softmax = jnp.exp(logits - denc[..., None])
-        onehot = jax.nn.one_hot(ybc, V, dtype=jnp.float32)   # [c, T, W, V]
-        dlogits = (softmax * occc[..., None]).at[..., 0].add(-gblc) \
-            - gemc[..., None] * onehot
+        onehot = jax.nn.one_hot(ybc - y_off, V,
+                                dtype=jnp.float32)   # [c, T, W, V_local]
+        dlogits = (softmax * occc[..., None]).at[..., 0].add(
+            -gblc * blank_own) - gemc[..., None] * onehot
 
         dlb = dlogits.astype(compute_dtype)
         dh = jnp.dot(dlb, w2.T, preferred_element_type=jnp.float32)
@@ -278,16 +303,58 @@ def _gather_band_t(x, u0_full, W):
     return jnp.take_along_axis(x, idx, axis=2)
 
 
-_banded_call.defvjp(_fwd, _bwd)
+_banded_call = _make_banded_call(None)
 
 
 def transducer_loss_banded(joint_params, enc, pred, labels, enc_lengths,
                            label_lengths, *, band: int = 16):
     """Full banded path from encoder/prediction activations (the banded twin
-    of joint_loss_fused.transducer_loss_fused)."""
+    of joint_loss_fused.transducer_loss_fused).
+
+    Under a mesh with model-axis > 1 the loss runs shard_mapped with W2/b2
+    vocab-sharded, same design as the fused path (no W2 all-gather)."""
+    axis, data_axes = _ambient_tp_axis()
     w1 = joint_params["w1"]
-    f = jnp.dot(enc, w1, preferred_element_type=jnp.float32).astype(enc.dtype)
-    g = jnp.dot(pred, w1, preferred_element_type=jnp.float32).astype(pred.dtype)
-    return rnnt_loss_banded(
-        f, g, joint_params["b1"], joint_params["w2"], joint_params["b2"],
-        labels, enc_lengths, label_lengths, band=band)
+    if axis is not None:
+        import jax.sharding as jsh
+
+        mp = dict(jsh.get_abstract_mesh().shape)[axis]
+        if joint_params["w2"].shape[1] % mp != 0:
+            axis = None  # indivisible vocab: GSPMD fallback (w2 replicated)
+    if axis is None:
+        f = jnp.dot(enc, w1,
+                    preferred_element_type=jnp.float32).astype(enc.dtype)
+        g = jnp.dot(pred, w1,
+                    preferred_element_type=jnp.float32).astype(pred.dtype)
+        return rnnt_loss_banded(
+            f, g, joint_params["b1"], joint_params["w2"], joint_params["b2"],
+            labels, enc_lengths, label_lengths, band=band)
+
+    from jax.sharding import PartitionSpec as P
+
+    from rnnt_tpu.ops.joint_loss_fused import _vma_join
+
+    dspec = P(data_axes)
+    call = _make_banded_call(axis)
+
+    def body(w1, b1, w2, b2, enc, pred, labels, enc_lengths, label_lengths):
+        enc_j, pred_j, w1_j = _vma_join(enc, pred, w1)
+        f = jnp.dot(enc_j, w1_j,
+                    preferred_element_type=jnp.float32).astype(enc.dtype)
+        g = jnp.dot(pred_j, w1_j,
+                    preferred_element_type=jnp.float32).astype(pred.dtype)
+        B, U1, J = g.shape
+        W = _round_up(min(band, U1), 8)
+        U1p = _round_up(max(U1, W), 8)
+        g = jnp.pad(g, ((0, 0), (0, U1p - U1), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, U1p - 1 - labels.shape[1])))
+        return call(W, f, g, b1, w2, b2, labels, enc_lengths, label_lengths)
+
+    return jax.shard_map(
+        body,
+        in_specs=(P(), P(), P(None, axis), P(axis),
+                  dspec, dspec, dspec, dspec, dspec),
+        out_specs=dspec,
+        check_vma=False,  # same rationale as joint_loss_fused
+    )(w1, joint_params["b1"], joint_params["w2"], joint_params["b2"],
+      enc, pred, labels, enc_lengths, label_lengths)

@@ -252,6 +252,24 @@ def _compute_planes(f, g, labels_pad, b1, w2, b2, *,
     return unflatten(denom), unflatten(blank), unflatten(emit)
 
 
+def shift_labels_tp(labels, w2_local, axis):
+    """Global label ids -> this vocab shard's local coordinates (out-of-shard
+    ids land outside [0, V_local) and match nothing)."""
+    return (labels.astype(jnp.int32)
+            - jax.lax.axis_index(axis) * w2_local.shape[1])
+
+
+def combine_tp_planes(denom_l, blank_l, emit_l, axis):
+    """Combine per-vocab-shard plane partials into global planes: logaddexp-
+    psum reconstructs the full-vocab logsumexp denominator; pmax picks the
+    owner shard's blank (global column 0 = shard 0) and emit logits."""
+    idx = jax.lax.axis_index(axis)
+    blank_l = jnp.where(idx == 0, blank_l, NEG)
+    m = jax.lax.pmax(denom_l, axis)
+    denom = m + jnp.log(jax.lax.psum(jnp.exp(denom_l - m), axis))
+    return denom, jax.lax.pmax(blank_l, axis), jax.lax.pmax(emit_l, axis)
+
+
 def _planes(f, g, b1, w2, b2, labels, label_lengths, axis=None):
     """(denom, blank-coeff, emit-coeff) planes.
 
@@ -269,18 +287,12 @@ def _planes(f, g, b1, w2, b2, labels, label_lengths, axis=None):
     if axis is None:
         denom, blank, emit = _compute_planes(f, g, labels_pad, b1, w2, b2)
     else:
-        V_local = w2.shape[1]
-        idx = jax.lax.axis_index(axis)
         # shift ids into this shard's local coordinates: out-of-shard ids
         # fall outside [0, V_local) and match no lane (emit stays NEG)
-        y_local = labels_pad.astype(jnp.int32) - idx * V_local
+        y_local = shift_labels_tp(labels_pad, w2, axis)
         denom_l, blank_l, emit_l = _compute_planes(
             f, g, y_local, b1, w2, b2)
-        blank_l = jnp.where(idx == 0, blank_l, NEG)  # global col 0 = shard 0
-        m = jax.lax.pmax(denom_l, axis)
-        denom = m + jnp.log(jax.lax.psum(jnp.exp(denom_l - m), axis))
-        blank = jax.lax.pmax(blank_l, axis)
-        emit = jax.lax.pmax(emit_l, axis)
+        denom, blank, emit = combine_tp_planes(denom_l, blank_l, emit_l, axis)
     b = blank - denom  # log-softmax coefficients (ref._gather_coeffs contract)
     e = emit - denom
     U1 = U + 1

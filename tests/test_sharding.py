@@ -42,7 +42,8 @@ def test_eight_devices_available():
     pytest.param(4, 2, "ref", marks=pytest.mark.slow),
     (8, 1, "fused"),
     (4, 2, "fused"),
-    pytest.param(8, 1, "banded", marks=pytest.mark.slow)])
+    pytest.param(8, 1, "banded", marks=pytest.mark.slow),
+    pytest.param(4, 2, "banded", marks=pytest.mark.slow)])
 def test_sharded_train_step_matches_single_device(data, model, impl):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     step_fn = make_train_step(CFG, loss_impl=impl, donate=False)
@@ -128,7 +129,8 @@ def test_param_sharding_rules_cover_model_axis():
     assert any("model" in s for s in specs)
 
 
-def test_tp_fused_loss_no_w2_allgather():
+@pytest.mark.parametrize("impl", ["fused", pytest.param("banded", marks=pytest.mark.slow)])
+def test_tp_fused_loss_no_w2_allgather(impl):
     """With model_parallel=2 the fused loss runs shard_mapped: the HLO must
     contain NO all-gather of the vocab-sharded [J, V] W2 (round-1 weakness:
     the opaque pallas_call forced GSPMD to gather 10 MB of W2 per step per
@@ -136,7 +138,7 @@ def test_tp_fused_loss_no_w2_allgather():
     reductions and the [.., J] dh psum."""
     mesh = make_mesh(data=4, model=2)
     state = create_train_state(jax.random.PRNGKey(0), CFG)
-    step_fn = make_train_step(CFG, loss_impl="fused", donate=False)
+    step_fn = make_train_step(CFG, loss_impl=impl, donate=False)
     batch = _batch()
     shardings = param_sharding_rules(mesh, state.params)
     params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
