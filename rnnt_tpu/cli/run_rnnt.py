@@ -135,7 +135,8 @@ def main(argv=None):
 
     from rnnt_tpu.data import pipeline
     from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
-    from rnnt_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from rnnt_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        replicated_sharding, shard_params)
     from rnnt_tpu.train import checkpoint as ckpt_mod
     from rnnt_tpu.train.loop import run_evaluate, run_training
     from rnnt_tpu.train.state import create_train_state

@@ -33,7 +33,7 @@ import numpy as np
 
 import rnnt_tpu.ops.rnnt_loss_ref as ref
 from rnnt_tpu.ops.joint_loss_fused import (
-    _ambient_tp_axis, _compute_planes, combine_tp_planes, shift_labels_tp)
+    _compute_planes, combine_tp_planes, shift_labels_tp, tp_axis_for)
 
 NEG = ref.NEG
 _T_TILE = 8  # t rows per band window (matches the planes kernel's Tt)
@@ -313,14 +313,8 @@ def transducer_loss_banded(joint_params, enc, pred, labels, enc_lengths,
 
     Under a mesh with model-axis > 1 the loss runs shard_mapped with W2/b2
     vocab-sharded, same design as the fused path (no W2 all-gather)."""
-    axis, data_axes = _ambient_tp_axis()
+    axis, data_axes = tp_axis_for(joint_params["w2"])
     w1 = joint_params["w1"]
-    if axis is not None:
-        import jax.sharding as jsh
-
-        mp = dict(jsh.get_abstract_mesh().shape)[axis]
-        if joint_params["w2"].shape[1] % mp != 0:
-            axis = None  # indivisible vocab: GSPMD fallback (w2 replicated)
     if axis is None:
         f = jnp.dot(enc, w1,
                     preferred_element_type=jnp.float32).astype(enc.dtype)

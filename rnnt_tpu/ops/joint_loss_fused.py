@@ -469,6 +469,22 @@ def _ambient_tp_axis():
     return None, ()
 
 
+def tp_axis_for(w2):
+    """TP (axis, data_axes) for a loss consuming this W2, or (None, ()).
+
+    Falls back to the GSPMD path when vocab_size is not divisible by the
+    model axis (e.g. the 31-symbol character tokenizer): the sharding rules
+    left W2 replicated in that case (parallel/mesh.py divisibility guard),
+    so shard_map in_specs P(None, axis) would be ill-formed."""
+    axis, data_axes = _ambient_tp_axis()
+    if axis is None:
+        return None, ()
+    mp = dict(jax.sharding.get_abstract_mesh().shape)[axis]
+    if w2.shape[1] % mp != 0:
+        return None, ()
+    return axis, data_axes
+
+
 def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
                           label_lengths):
     """Full fused path from encoder/prediction activations.
@@ -483,19 +499,8 @@ def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
     [B, T, U+1] planes, and one logaddexp-psum + two pmax combine them.
     W1/b1 are small and replicated (see parallel/mesh.py rules).
     """
-    axis, data_axes = _ambient_tp_axis()
+    axis, data_axes = tp_axis_for(joint_params["w2"])
     w1 = joint_params["w1"]
-    if axis is not None:
-        import jax.sharding as jsh
-
-        mp = dict(jsh.get_abstract_mesh().shape)[axis]
-        if joint_params["w2"].shape[1] % mp != 0:
-            # Vocab not divisible by the model axis (e.g. the 31-symbol
-            # character tokenizer): the sharding rules left W2 replicated
-            # (parallel/mesh.py divisibility guard), so shard_map in_specs
-            # P(None, axis) would be ill-formed — take the GSPMD path, which
-            # round 1 ran fine at these sizes.
-            axis = None
     if axis is None:
         f = jnp.dot(enc, w1,
                     preferred_element_type=jnp.float32).astype(enc.dtype)

@@ -279,13 +279,10 @@ def _tone_utterances():
     return utts
 
 
-def test_streamed_wer_close_to_offline_on_overfit_audio_model():
-    """Streaming quality over a SET of utterances, not one anecdote: a model
-    overfit on audio-derived features must transcribe the same audio nearly
-    as well chunk-streamed (causal running-mean normalization, carried LSTM
-    state) as offline.  Pins the streamed-vs-offline WER delta the causal
-    feature statistics cost (BASELINE.md records the parity-scale number)."""
-    from rnnt_tpu.decode.streaming import streamed_vs_offline
+def overfit_audio_model(max_steps=600, tol=0.05):
+    """Train the tiny model on audio-derived features of the tone corpus
+    until it transcribes it back; returns (cfg, state, tok, utts, loss).
+    Shared by the streaming-WER and serving tests."""
     from rnnt_tpu.ops import features as F
 
     tok = CharTokenizer()
@@ -318,13 +315,25 @@ def test_streamed_wer_close_to_offline_on_overfit_audio_model():
     step_fn = make_train_step(cfg, donate=False)
     key = jax.random.PRNGKey(2)
     loss = float("inf")
-    for _ in range(600):
+    for _ in range(max_steps):
         key, sub = jax.random.split(key)
         new_state, m = step_fn(state, batch, sub)
         loss = float(m["loss"])
-        if loss < 0.05:
+        if loss < tol:
             break
         state = new_state
+    return cfg, state, tok, utts, loss
+
+
+def test_streamed_wer_close_to_offline_on_overfit_audio_model():
+    """Streaming quality over a SET of utterances, not one anecdote: a model
+    overfit on audio-derived features must transcribe the same audio nearly
+    as well chunk-streamed (causal running-mean normalization, carried LSTM
+    state) as offline.  Pins the streamed-vs-offline WER delta the causal
+    feature statistics cost (BASELINE.md records the parity-scale number)."""
+    from rnnt_tpu.decode.streaming import streamed_vs_offline
+
+    cfg, state, tok, utts, loss = overfit_audio_model()
     assert loss < 0.5, loss  # must actually learn the audio->text mapping
 
     off_wer, str_wer, details = streamed_vs_offline(

@@ -34,48 +34,11 @@ def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
 
 @pytest.fixture(scope="module")
 def served(tmp_path_factory):
-    from tests.test_beam_stream_ckpt import CFG, _tone_utterances
-    from rnnt_tpu.ops import features as F
+    from tests.test_beam_stream_ckpt import overfit_audio_model
     from rnnt_tpu.serve import Server
-    from rnnt_tpu.train.state import create_train_state
-    from rnnt_tpu.train.steps import make_train_step
-    import jax.numpy as jnp
 
-    tok = CharTokenizer()
-    cfg = CFG.replace(vocab_size=tok.vocab_size, mel_bins=8,
-                      encoder_size=32, pred_net_size=32, learning_rate=0.05)
-    utts = _tone_utterances()
-    mels = [np.asarray(F.preprocess_audio(jnp.asarray(a), cfg))
-            for a, _, _ in utts]
-    labels = [tok.encode(t) for _, _, t in utts]
-    T = max(m.shape[0] for m in mels)
-    U = max(len(l) for l in labels)
-    B = len(utts)
-    mel_b = np.zeros((B, T, cfg.input_feat_size), np.float32)
-    lab_b = np.zeros((B, U), np.int32)
-    sl, ll = np.zeros(B, np.int32), np.zeros(B, np.int32)
-    for i, (m, l) in enumerate(zip(mels, labels)):
-        mel_b[i, : m.shape[0]] = m
-        lab_b[i, : len(l)] = l
-        sl[i], ll[i] = m.shape[0], len(l)
-    batch = {
-        "mel_specs": jnp.asarray(mel_b),
-        "pred_inp": jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), jnp.asarray(lab_b)], 1),
-        "labels": jnp.asarray(lab_b),
-        "spec_lengths": jnp.asarray(sl),
-        "label_lengths": jnp.asarray(ll),
-    }
-    state = create_train_state(jax.random.PRNGKey(0), cfg)
-    step = make_train_step(cfg, donate=False)
-    key = jax.random.PRNGKey(2)
-    for _ in range(600):
-        key, sub = jax.random.split(key)
-        new_state, m = step(state, batch, sub)
-        if float(m["loss"]) < 0.05:
-            break
-        state = new_state
-    assert float(m["loss"]) < 0.5
+    cfg, state, tok, utts, loss = overfit_audio_model()
+    assert loss < 0.5, loss
 
     ckpt = str(tmp_path_factory.mktemp("serve_ckpt"))
     ckpt_mod.save_checkpoint(ckpt, state, cfg)
