@@ -147,3 +147,19 @@ def test_run_rnnt_eval_cli_forwards_loss_impl(data_dir, run_dir):
     finally:
         loop_mod.run_evaluate = real
     assert seen["loss_impl"] == "fused"
+
+
+def test_run_rnnt_quantized_eval_cli(data_dir, run_dir, capsys):
+    """--quantized evals with int8-dequantized weights (the BASELINE int8
+    WER-delta path): metrics print and match the fp eval's format."""
+    from rnnt_tpu.cli import quantize_model, run_rnnt
+
+    qpath = os.path.join(str(run_dir), "model_int8.npz")
+    if not os.path.exists(qpath):
+        quantize_model.main(["--checkpoint", str(run_dir)])
+        capsys.readouterr()
+    run_rnnt.main(["--mode", "test", "--data_dir", str(data_dir),
+                   "--output_dir", str(run_dir), "--checkpoint", str(run_dir),
+                   "--batch_size", "8", "--no-bf16", "--quantized", qpath])
+    out = capsys.readouterr().out
+    assert "eval_loss=" in out and "eval_wer=" in out
