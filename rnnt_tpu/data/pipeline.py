@@ -66,7 +66,11 @@ def _pp_worker_init(sidecar_dir: str, token_type: str, vocab_size: int,
                     max_length_seconds: float) -> None:
     import os as os_mod
 
-    os_mod.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu: the inherited env may pin JAX_PLATFORMS to a TPU plugin
+    # (e.g. axon) whose registration the parent disabled for workers —
+    # setdefault would keep the broken pin and every worker would die at
+    # its first jax op with "backend not in the list of known backends"
+    os_mod.environ["JAX_PLATFORMS"] = "cpu"
     from rnnt_tpu.config import RNNTConfig
     from rnnt_tpu.data.tokenizer import get_tokenizer
 
@@ -108,12 +112,27 @@ def preprocess_corpus_parallel(file_text_pairs, sidecar_dir: str,
     import os as os_mod
 
     # spawn-ed workers re-run sitecustomize: make sure none of them dials
-    # the single-client TPU tunnel (pure-CPU featurization)
+    # the single-client TPU tunnel (pure-CPU featurization), and that any
+    # env-pinned TPU platform choice doesn't leak into them (the pin would
+    # point at a backend whose registration we just disabled).  Parent env
+    # is restored once the pool is up: spawn Pools start all workers in
+    # __init__, and _pp_worker_init re-forces cpu inside each worker anyway.
+    saved = {k: os_mod.environ.get(k)
+             for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
     os_mod.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os_mod.environ["JAX_PLATFORMS"] = "cpu"
     ctx = mp.get_context("spawn")
-    with ctx.Pool(workers, initializer=_pp_worker_init,
-                  initargs=(sidecar_dir, cfg.token_type, cfg.vocab_size,
-                            max_length_seconds)) as pool:
+    try:
+        pool_cm = ctx.Pool(workers, initializer=_pp_worker_init,
+                           initargs=(sidecar_dir, cfg.token_type,
+                                     cfg.vocab_size, max_length_seconds))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os_mod.environ.pop(k, None)
+            else:
+                os_mod.environ[k] = v
+    with pool_cm as pool:
         for ex in pool.imap(_pp_one, file_text_pairs, chunksize=4):
             if ex is not None:
                 yield ex

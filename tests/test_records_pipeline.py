@@ -276,9 +276,24 @@ def test_parallel_preprocess_matches_serial(tmp_path):
     serial = list(pipeline.preprocess_corpus(
         librispeech.load_dataset(str(root), ["mini"]), tok, cfg,
         max_length_seconds=1.0))
-    par = list(pipeline.preprocess_corpus_parallel(
-        librispeech.iter_utterance_files(str(root), ["mini"]),
-        str(sidecar), cfg, workers=2, max_length_seconds=1.0))
+    # Poison the inherited platform pin the way a TPU-tunnel launch env does
+    # (JAX_PLATFORMS names a plugin the workers can't register): workers must
+    # force cpu instead of dying at their first jax op, and the parent's env
+    # must come back untouched.  Regression for the --workers crash under
+    # JAX_PLATFORMS=axon.
+    import os as os_mod
+    saved = os_mod.environ.get("JAX_PLATFORMS")
+    os_mod.environ["JAX_PLATFORMS"] = "nonexistent_tpu_plugin"
+    try:
+        par = list(pipeline.preprocess_corpus_parallel(
+            librispeech.iter_utterance_files(str(root), ["mini"]),
+            str(sidecar), cfg, workers=2, max_length_seconds=1.0))
+        assert os_mod.environ.get("JAX_PLATFORMS") == "nonexistent_tpu_plugin"
+    finally:
+        if saved is None:
+            os_mod.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os_mod.environ["JAX_PLATFORMS"] = saved
     assert len(serial) == len(par) and len(serial) > 0
     for a, b in zip(serial, par):
         assert set(a) == set(b)
