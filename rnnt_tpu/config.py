@@ -49,6 +49,15 @@ class RNNTConfig:
     learning_rate: float = 1e-4
     momentum: float = 0.9
     grad_clip_norm: float = 0.0             # 0 = off (reference has none)
+    # LR schedule (beyond-ref; the reference is constant-lr only).  Deep
+    # LSTM stacks at parity scale see 100x-over-clip gradient norms for the
+    # first few hundred steps — warmup lets the steady-state lr be chosen
+    # for the steady state.  warmup_steps=0 + "constant" == exact ref
+    # behaviour (and the round-1 checkpoint/opt-state layout).
+    warmup_steps: int = 0                   # linear 0 -> learning_rate
+    lr_schedule: str = "constant"           # "constant" | "cosine"
+    decay_steps: int = 0                    # cosine horizon (after warmup)
+    lr_final_factor: float = 0.0            # cosine floor, fraction of peak
     # Gaussian input-noise augmentation, default off (ref: run_rnnt.py:241-242
     # noise=0; the commented-in value there was 0.075)
     input_noise_stddev: float = 0.0

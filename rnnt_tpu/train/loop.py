@@ -262,6 +262,7 @@ def run_training(
                     writer.scalars(step, {
                         "train_loss": loss,
                         "grad_norm": float(m["grad_norm"]),
+                        "lr": float(m["lr"]),
                         "step_seconds": sec_per_step,
                     })
                     print(f"epoch {epoch} step {step}: "

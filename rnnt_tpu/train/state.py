@@ -23,12 +23,45 @@ class TrainState(NamedTuple):
     opt_state: Any             # optax state (SGD momentum buffers)
 
 
+def lr_schedule(cfg: RNNTConfig):
+    """Step -> learning-rate schedule (optax callable).
+
+    The reference trains at a constant lr (run_rnnt.py:483-484) and that
+    stays the default; `warmup_steps` / `lr_schedule="cosine"` are the
+    knobs deep LSTM stacks need at parity scale — gradient norms are 1-2
+    orders of magnitude above the clip threshold for the first few hundred
+    steps, so a constant lr must be set for the *transient*, not the
+    steady state.  Warmup removes that compromise.
+    """
+    if cfg.lr_schedule == "cosine" and cfg.decay_steps > 0:
+        base = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.decay_steps, alpha=cfg.lr_final_factor)
+    elif cfg.lr_schedule not in ("constant", "cosine"):
+        raise ValueError(f"lr_schedule={cfg.lr_schedule!r} "
+                         "(want 'constant' or 'cosine')")
+    else:
+        base = optax.constant_schedule(cfg.learning_rate)
+    if cfg.warmup_steps > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+             base],
+            [cfg.warmup_steps])
+    return base
+
+
 def make_optimizer(cfg: RNNTConfig) -> optax.GradientTransformation:
-    """SGD + momentum at the reference's settings (run_rnnt.py:483-484)."""
+    """SGD + momentum at the reference's settings (run_rnnt.py:483-484),
+    optionally under a warmup/cosine lr schedule (`lr_schedule`)."""
     tx = [optax.trace(decay=cfg.momentum, nesterov=False)]
     if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
         tx.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
-    tx.append(optax.scale(-cfg.learning_rate))
+    if cfg.warmup_steps > 0 or cfg.lr_schedule != "constant":
+        # schedule state adds one replicated count leaf to opt_state; the
+        # plain-constant path keeps the exact round-1 checkpoint layout
+        sched = lr_schedule(cfg)
+        tx.append(optax.scale_by_schedule(lambda t: -sched(t)))
+    else:
+        tx.append(optax.scale(-cfg.learning_rate))
     return optax.chain(*tx)
 
 

@@ -112,6 +112,9 @@ def make_train_step(cfg: RNNTConfig, *, loss_impl: str = "auto", donate: bool = 
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            # current lr (schedule evaluated at the pre-update step) so the
+            # campaign loss-curve evidence records what drove each step
+            "lr": state_mod.lr_schedule(cfg)(state.step),
         }
         return new_state, metrics
 

@@ -86,3 +86,45 @@ def test_loss_weight_masks_fillers():
                     jax.tree_util.tree_leaves(g_real)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_lr_schedule_warmup_cosine():
+    """Warmup ramps 0 -> peak over warmup_steps, cosine decays to the floor;
+    the train step reports the schedule lr and the optimizer applies it
+    (a zero-lr first step must not move the trainable params)."""
+    from rnnt_tpu.train.state import lr_schedule, trainable
+
+    cfg = CFG.replace(learning_rate=0.1, warmup_steps=10,
+                      lr_schedule="cosine", decay_steps=40,
+                      lr_final_factor=0.1)
+    sched = lr_schedule(cfg)
+    lrs = np.asarray([sched(t) for t in range(60)])
+    assert lrs[0] == 0.0
+    assert np.all(np.diff(lrs[:10]) > 0)
+    np.testing.assert_allclose(lrs[10], 0.1, rtol=1e-6)
+    assert np.all(np.diff(lrs[10:50]) < 0)            # cosine decay
+    np.testing.assert_allclose(lrs[50:], 0.01, rtol=1e-5)  # floor reached
+
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, donate=False)
+    batch = synth_batch(jax.random.PRNGKey(1))
+    before = jax.tree_util.tree_map(np.asarray, trainable(state.params))
+    state2, m = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert float(m["lr"]) == 0.0                      # step 0 is warmup start
+    after = jax.tree_util.tree_map(np.asarray, trainable(state2.params))
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    _, m2 = step_fn(state2, batch, jax.random.PRNGKey(3))
+    assert float(m2["lr"]) > 0.0                      # ramp has begun
+
+
+def test_constant_lr_keeps_round1_opt_state_layout():
+    """Default config must not grow opt_state (checkpoint compat: the
+    schedule path adds a count leaf only when a schedule is requested)."""
+    plain = create_train_state(jax.random.PRNGKey(0), CFG)
+    sched = create_train_state(
+        jax.random.PRNGKey(0), CFG.replace(warmup_steps=5))
+    n_plain = len(jax.tree_util.tree_leaves(plain.opt_state))
+    n_sched = len(jax.tree_util.tree_leaves(sched.opt_state))
+    assert n_sched == n_plain + 1
