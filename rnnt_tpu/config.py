@@ -61,6 +61,14 @@ class RNNTConfig:
     # Gaussian input-noise augmentation, default off (ref: run_rnnt.py:241-242
     # noise=0; the commented-in value there was 0.075)
     input_noise_stddev: float = 0.0
+    # SpecAugment (beyond-ref; ops/specaug.py) — all off by default.
+    # freq_width in mel bins (of mel_bins, masked across every stacked
+    # copy); time_width in stacked frames (= downsample_factor hops each),
+    # confined to each utterance's real length.
+    specaug_freq_masks: int = 0
+    specaug_freq_width: int = 15
+    specaug_time_masks: int = 0
+    specaug_time_width: int = 20
 
     # Precision policy (ref: run_rnnt.py:96-99 mixed_float16; TPU uses bf16,
     # no loss scaling needed — lattice math stays fp32 inside the loss).

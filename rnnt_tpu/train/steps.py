@@ -49,6 +49,19 @@ def batch_loss(params, cfg: RNNTConfig, batch, *, training: bool,
             cfg.input_noise_stddev
             * jax.random.normal(nkey, batch["mel_specs"].shape,
                                 batch["mel_specs"].dtype))
+    if training and rng is not None and (
+            cfg.specaug_freq_masks > 0 or cfg.specaug_time_masks > 0):
+        from rnnt_tpu.ops.specaug import spec_augment
+
+        rng, skey = jax.random.split(rng)
+        batch = dict(batch)
+        batch["mel_specs"] = spec_augment(
+            skey, batch["mel_specs"], batch["spec_lengths"],
+            mel_bins=cfg.mel_bins,
+            freq_masks=cfg.specaug_freq_masks,
+            freq_width=cfg.specaug_freq_width,
+            time_masks=cfg.specaug_time_masks,
+            time_width=cfg.specaug_time_width)
     if loss_impl in ("fused", "banded"):
         from rnnt_tpu.models import prediction as pred_mod
 
