@@ -28,8 +28,11 @@ def _rand_case(rng, B, T, U, V, vary_lengths=True):
 
 def brute_force_loss(logits, labels, T, U):
     """Enumerate every monotonic alignment path explicitly (tiny lattices)."""
-    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float64), -1)
-    lp = np.asarray(lp)
+    # numpy float64 log-softmax: jax would silently truncate to float32
+    # without the x64 flag (and warn), defeating the high-precision oracle
+    x = np.asarray(logits, np.float64)
+    mx = x.max(-1, keepdims=True)
+    lp = x - mx - np.log(np.exp(x - mx).sum(-1, keepdims=True))
     paths = []
 
     def walk(t, u, acc):
