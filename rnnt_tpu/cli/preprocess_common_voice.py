@@ -26,6 +26,9 @@ def main():
                    help="pad the subword vocab with reserved unused ids up "
                         "to --vocab_size (full-width joint softmax even on "
                         "corpora whose BPE saturates early)")
+    p.add_argument("--bpe_pieces", type=int, default=0,
+                   help="cap the LEARNED BPE vocab at this many pieces "
+                        "(0 = --vocab_size); see preprocess_librispeech")
     p.add_argument("--max_length", type=float, default=17.0)
     p.add_argument("--num_shards", type=int, default=8)
     p.add_argument("--workers", type=int, default=1,
@@ -40,7 +43,7 @@ def main():
 
     tok = get_tokenizer(
         args.output_dir, args.token_type, args.vocab_size,
-        pad_to_target=args.pad_vocab,
+        pad_to_target=args.pad_vocab, learn_vocab_size=args.bpe_pieces,
         corpus=common_voice.texts_generator(args.data_dir))  # train split only
     cfg = cfg.replace(vocab_size=tok.vocab_size)
     cfg.save(args.output_dir)

@@ -35,6 +35,12 @@ def main():
                    help="pad the subword vocab with reserved unused ids up "
                         "to --vocab_size (full-width joint softmax even on "
                         "corpora whose BPE saturates early)")
+    p.add_argument("--bpe_pieces", type=int, default=0,
+                   help="cap the LEARNED BPE vocab at this many pieces "
+                        "(0 = --vocab_size); with --pad_vocab the rest is "
+                        "reserved padding, decoupling target granularity "
+                        "(letters/syllables vs whole words) from the joint "
+                        "softmax width")
     p.add_argument("--max_length", type=float, default=17.0,
                    help="drop utterances longer than this many seconds "
                         "(preprocessing.py:264-266)")
@@ -52,7 +58,7 @@ def main():
 
     tok = get_tokenizer(
         args.output_dir, args.token_type, args.vocab_size,
-        pad_to_target=args.pad_vocab,
+        pad_to_target=args.pad_vocab, learn_vocab_size=args.bpe_pieces,
         corpus=librispeech.texts_generator(args.data_dir, args.train_splits))
     cfg = cfg.replace(vocab_size=tok.vocab_size)
     cfg.save(args.output_dir)

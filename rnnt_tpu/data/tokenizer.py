@@ -157,13 +157,28 @@ class SubwordTokenizer:
         return word_counts
 
     @staticmethod
+    def _learn_target(target_vocab_size: int,
+                      learn_vocab_size: Optional[int]) -> int:
+        """Effective vocab size the MERGE LEARNING aims for: `learn_vocab_size`
+        caps the learned (non-reserved) pieces below the padded width, so the
+        piece granularity (letters/syllables vs whole words) is chosen
+        independently of the joint-softmax width — e.g. 64 learned pieces
+        padded to a V=4096 parity joint."""
+        if learn_vocab_size is None or learn_vocab_size <= 0:
+            return target_vocab_size
+        return min(learn_vocab_size, target_vocab_size)
+
+    @staticmethod
     def _finish_pieces(merges: List[str], alphabet: List[str],
-                       target_vocab_size: int, pad_to_target: bool) -> List[str]:
+                       target_vocab_size: int, pad_to_target: bool,
+                       learn_vocab_size: Optional[int] = None) -> List[str]:
         # Order: blank, merges (by creation = frequency order), then the
         # single-character alphabet.  Truncation drops MERGES, never the
         # alphabet — the any-input-is-encodable invariant must survive small
         # --vocab_size on large alphabets.
-        keep_merges = max(0, target_vocab_size - 1 - len(alphabet))
+        learn = SubwordTokenizer._learn_target(target_vocab_size,
+                                               learn_vocab_size)
+        keep_merges = max(0, learn - 1 - len(alphabet))
         pieces = [""] + merges[:keep_merges] + alphabet
         if pad_to_target and len(pieces) < target_vocab_size:
             # Reserved never-matching ids so vocab_size hits the requested
@@ -182,8 +197,13 @@ class SubwordTokenizer:
         target_vocab_size: int,
         max_subword_length: int = 20,
         pad_to_target: bool = False,
+        learn_vocab_size: Optional[int] = None,
     ) -> "SubwordTokenizer":
         """Learn BPE merges from a text generator until the vocab is full.
+
+        learn_vocab_size (optional) caps the LEARNED vocab below
+        target_vocab_size (the rest is reserved padding when pad_to_target):
+        coarse joints, fine pieces — see _learn_target.
 
         Incremental trainer: pair->count and pair->word-occurrence indices are
         maintained per merge (a lazy max-heap selects the next merge), so cost
@@ -218,7 +238,8 @@ class SubwordTokenizer:
         heapq.heapify(heap)
 
         merges: List[str] = []
-        budget = target_vocab_size - 1 - len(alphabet)  # -1 for blank
+        learn = cls._learn_target(target_vocab_size, learn_vocab_size)
+        budget = learn - 1 - len(alphabet)  # -1 for blank
         while len(merges) < budget and heap:
             negc, best = heapq.heappop(heap)
             cur = pair_counts.get(best, 0)
@@ -274,7 +295,7 @@ class SubwordTokenizer:
             pair_words.pop(best, None)
 
         return cls(cls._finish_pieces(merges, alphabet, target_vocab_size,
-                                      pad_to_target))
+                                      pad_to_target, learn_vocab_size))
 
     @classmethod
     def _build_from_corpus_rescan(
@@ -283,6 +304,7 @@ class SubwordTokenizer:
         target_vocab_size: int,
         max_subword_length: int = 20,
         pad_to_target: bool = False,
+        learn_vocab_size: Optional[int] = None,
     ) -> "SubwordTokenizer":
         """Reference trainer: full pair-count rescan per merge.  O(merges x
         unique-words) — kept as the correctness oracle for the incremental
@@ -294,7 +316,8 @@ class SubwordTokenizer:
         }
 
         merges: List[str] = []
-        budget = target_vocab_size - 1 - len(alphabet)  # -1 for blank
+        learn = cls._learn_target(target_vocab_size, learn_vocab_size)
+        budget = learn - 1 - len(alphabet)  # -1 for blank
         while budget > len(merges):
             pair_counts: collections.Counter = collections.Counter()
             for sym, cnt in words.items():
@@ -324,7 +347,7 @@ class SubwordTokenizer:
             words = merged
 
         return cls(cls._finish_pieces(merges, alphabet, target_vocab_size,
-                                      pad_to_target))
+                                      pad_to_target, learn_vocab_size))
 
 
 def get_tokenizer(
@@ -333,6 +356,7 @@ def get_tokenizer(
     vocab_size: int,
     corpus: Optional[Iterable[str]] = None,
     pad_to_target: bool = False,
+    learn_vocab_size: Optional[int] = None,
 ):
     """Build-or-load, mirroring get_encoder (encoding.py:51-92): load the
     persisted tokenizer from `directory` if present, else train from `corpus`
@@ -346,7 +370,8 @@ def get_tokenizer(
             raise FileNotFoundError(
                 f"no {SUBWORD_FILENAME} in {directory} and no corpus given")
         tok = SubwordTokenizer.build_from_corpus(
-            corpus, vocab_size, pad_to_target=pad_to_target)
+            corpus, vocab_size, pad_to_target=pad_to_target,
+            learn_vocab_size=learn_vocab_size)
         tok.save(directory)
         return tok
     raise ValueError(f"unknown token_type {token_type!r}")

@@ -172,3 +172,20 @@ def test_pad_vocab_to_target():
     assert all(not tok.pieces[i].startswith("\x00") for i in ids)
     # decode drops reserved ids instead of leaking sentinel text
     assert tok.decode(list(ids) + [511]) == tok.decode(ids)
+
+
+def test_learn_vocab_size_caps_learned_pieces():
+    """learn_vocab_size decouples piece granularity from joint width: the
+    learned prefix is byte-identical to a plain build at that size, and the
+    padded tail fills the requested vocab (the parity-campaign shape: fine
+    pieces, V=4096 joint)."""
+    small = SubwordTokenizer.build_from_corpus(CORPUS, 64)
+    wide = SubwordTokenizer.build_from_corpus(
+        CORPUS, 512, pad_to_target=True, learn_vocab_size=64)
+    assert wide.vocab_size == 512
+    assert wide.pieces[:small.vocab_size] == small.pieces
+    assert all(p.startswith("\x00") for p in wide.pieces[small.vocab_size:])
+    # encodings agree: the reserved tail never matches input text
+    s = "hello world"
+    assert list(wide.encode(s)) == list(small.encode(s))
+    assert wide.decode(wide.encode(s)) == small.decode(small.encode(s))
