@@ -58,6 +58,11 @@ def parse_args(argv=None):
                    help="eval with int8-quantized weights (cli.quantize_model "
                         "output) — measures the WER delta vs fp (BASELINE "
                         "int8 metric)")
+    p.add_argument("--int8_exec", action="store_true",
+                   help="with --quantized: EXECUTE pred-net+joint matmuls in "
+                        "int8 (int8xint8->int32 MXU, dynamic activation "
+                        "quantization; ops/int8_exec.py) instead of "
+                        "dequantizing to bf16 — greedy decode only")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of a few train steps "
                         "here (the tracing capability the reference lacked, "
@@ -183,10 +188,18 @@ def main(argv=None):
         state = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
 
     if args.quantized:
-        from rnnt_tpu.ops.quantize import dequantize_params, load_quantized
+        from rnnt_tpu.ops.quantize import (dequantize_params, int8_exec_params,
+                                           load_quantized)
 
         q = load_quantized(args.quantized, state.params)
-        state = state._replace(params=dequantize_params(q, dtype))
+        if args.int8_exec:
+            if args.mode == "train" or args.decode == "beam":
+                sys.exit("--int8_exec is an inference path: use --mode "
+                         "eval/test with --decode greedy (the Pallas beam "
+                         "kernel needs fp weights)")
+            state = state._replace(params=int8_exec_params(q, dtype))
+        else:
+            state = state._replace(params=dequantize_params(q, dtype))
 
     # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
     mesh = make_mesh(data=-1, model=args.model_parallel)
@@ -356,7 +369,10 @@ def main(argv=None):
             # run_evaluate; every process participates, process 0 reports.
             metrics = run_evaluate(
                 cfg, state, eval_stream, tokenizer=tokenizer,
-                decode=args.decode, loss_impl=args.loss_impl)
+                decode=args.decode, loss_impl=args.loss_impl,
+                # int8-exec {"q","s"} joint leaves can't feed the loss
+                # kernels; WER/CER are the int8 measurement anyway
+                loss_metrics=not (args.quantized and args.int8_exec))
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
 

@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--stream_port", type=int, default=8081)
     p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ",
                    help="serve from an int8 cli.quantize_model artifact")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip pre-compiling the common greedy decode "
+                        "buckets at startup (first requests then pay the "
+                        "jit compile under the device lock)")
     args = p.parse_args(argv)
 
     from rnnt_tpu.compile_cache import enable_compile_cache
@@ -35,7 +39,11 @@ def main(argv=None):
 
     enable_compile_cache()
     srv = Server(args.checkpoint, host=args.host, http_port=args.http_port,
-                 stream_port=args.stream_port, quantized=args.quantized)
+                 stream_port=args.stream_port, quantized=args.quantized,
+                 warmup=args.warmup)
+    if srv.warmup_seconds:
+        print(f"warmup: pre-compiled greedy buckets in "
+              f"{srv.warmup_seconds:.1f}s")
     print(f"serving {args.checkpoint}: "
           f"http://{args.host}:{srv.http_port} (POST /transcribe, /info), "
           f"streaming tcp://{args.host}:{srv.stream_port}")

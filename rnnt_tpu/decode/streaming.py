@@ -42,7 +42,7 @@ class StreamingTranscriber:
 
     def __init__(self, cfg: RNNTConfig, params, tokenizer,
                  *, max_tokens_per_chunk: int = 64,
-                 prime_seconds: float = 0.5):
+                 prime_seconds: float = 0.5, device_lock=None):
         """prime_seconds: buffer this much audio before the first decode so
         the causal feature mean starts from a usable estimate.  The first
         chunks of a stream are mostly leading silence/noise; normalizing by
@@ -57,6 +57,10 @@ class StreamingTranscriber:
         self.tokenizer = tokenizer
         self.max_tokens_per_chunk = max_tokens_per_chunk
         self.prime_samples = int(prime_seconds * cfg.sample_rate)
+        # Optional lock serializing device access with other users of the
+        # same chip (rnnt_tpu.serve shares one lock across HTTP requests and
+        # all streaming sessions); None = caller owns the device.
+        self._device_lock = device_lock
         self.reset()
 
         # The per-chunk compute is jitted once per chunk length; feeding
@@ -170,8 +174,18 @@ class StreamingTranscriber:
             return self.text
         mel = mel[:n_feed]
 
-        tokens, length, self._enc_state, self._carry = self._run(
-            self.params, jnp.asarray(mel), self._enc_state, self._carry)
+        if self._device_lock is not None:
+            # Serialize both dispatch AND execution (block inside the lock):
+            # on one chip this bounds a concurrent session's added latency to
+            # one chunk's compute instead of an unbounded dispatch-queue race.
+            with self._device_lock:
+                out = self._run(self.params, jnp.asarray(mel),
+                                self._enc_state, self._carry)
+                out = jax.block_until_ready(out)
+            tokens, length, self._enc_state, self._carry = out
+        else:
+            tokens, length, self._enc_state, self._carry = self._run(
+                self.params, jnp.asarray(mel), self._enc_state, self._carry)
         self._text_ids.extend(np.asarray(tokens)[: int(length)].tolist())
         return self.text
 

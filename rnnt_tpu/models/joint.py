@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from rnnt_tpu.config import RNNTConfig
+from rnnt_tpu.ops.int8_exec import act_dtype, qdot
 
 
 def init_joint_params(key, cfg: RNNTConfig, dtype=jnp.float32):
@@ -37,8 +38,8 @@ def init_joint_params(key, cfg: RNNTConfig, dtype=jnp.float32):
 
 def joint_project(params, enc: jnp.ndarray, pred: jnp.ndarray):
     """Project each side through the (shared) first Dense: [.., P] -> [.., J]."""
-    f = jnp.dot(enc, params["w1"], preferred_element_type=jnp.float32)
-    g = jnp.dot(pred, params["w1"], preferred_element_type=jnp.float32)
+    f = qdot(enc, params["w1"], preferred_element_type=jnp.float32)
+    g = qdot(pred, params["w1"], preferred_element_type=jnp.float32)
     return f, g
 
 
@@ -47,9 +48,9 @@ def joint_logits(params, enc: jnp.ndarray, pred: jnp.ndarray):
     f, g = joint_project(params, enc, pred)
     h = jnp.tanh(
         f[:, :, None, :] + g[:, None, :, :] + params["b1"].astype(jnp.float32)
-    ).astype(params["w2"].dtype)
+    ).astype(act_dtype(params["w2"]))
     return (
-        jnp.dot(h, params["w2"], preferred_element_type=jnp.float32)
+        qdot(h, params["w2"], preferred_element_type=jnp.float32)
         + params["b2"].astype(jnp.float32)
     )
 
@@ -60,10 +61,10 @@ def joint_step(params, enc_t: jnp.ndarray, pred_u: jnp.ndarray):
     Equivalent of utils/decoding.py:6-18 but batched and state-free.
     """
     h = jnp.tanh(
-        jnp.dot(enc_t + pred_u, params["w1"], preferred_element_type=jnp.float32)
+        qdot(enc_t + pred_u, params["w1"], preferred_element_type=jnp.float32)
         + params["b1"].astype(jnp.float32)
-    ).astype(params["w2"].dtype)
+    ).astype(act_dtype(params["w2"]))
     return (
-        jnp.dot(h, params["w2"], preferred_element_type=jnp.float32)
+        qdot(h, params["w2"], preferred_element_type=jnp.float32)
         + params["b2"].astype(jnp.float32)
     )

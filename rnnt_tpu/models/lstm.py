@@ -27,6 +27,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from rnnt_tpu.ops.int8_exec import act_dtype, is_quant, qdot, weight_shape
+
 
 def init_lstm_params(key, input_size: int, hidden_size: int, proj_size: int,
                      dtype=jnp.float32, forget_bias: float = 1.0):
@@ -58,15 +60,14 @@ def lstm_zero_state(batch: int, hidden_size: int, proj_size: int, dtype=jnp.floa
 def _gates_step(params, x_proj_t, state):
     """One recurrence step given the precomputed input projection."""
     c, h = state
-    H = params["wp"].shape[0]
-    z = x_proj_t + jnp.dot(
+    z = x_proj_t + qdot(
         h, params["wh"], preferred_element_type=jnp.float32
     ) + params["bias"].astype(jnp.float32)
     i, g, f, o = jnp.split(z, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     hidden = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    h_new = jnp.dot(
-        hidden.astype(params["wp"].dtype), params["wp"],
+    h_new = qdot(
+        hidden.astype(act_dtype(params["wp"])), params["wp"],
         preferred_element_type=jnp.float32,
     ).astype(h.dtype)
     return c_new, h_new
@@ -76,9 +77,12 @@ def _pallas_eligible(params, B: int, T: int) -> bool:
     """Use the VMEM-resident Pallas sequence kernel when it pays off:
     TPU backend, lane-aligned dims, batch divisible into sublane blocks,
     enough timesteps to amortize.  (The scan path stays for CPU tests,
-    tiny debug configs, and single-step decode.)"""
+    tiny debug configs, single-step decode, and int8-exec weights — the
+    Pallas sequence kernel is bf16/fp32 only.)"""
     import jax as _jax
 
+    if any(is_quant(params[k]) for k in ("wx", "wh", "wp")):
+        return False
     H, P = params["wp"].shape
     try:
         on_tpu = _jax.default_backend() == "tpu"
@@ -108,8 +112,7 @@ def lstm_layer(
     the whole sequence (2x faster at parity scale, measured on v5e).
     """
     B, T, F = x.shape
-    H = params["wp"].shape[0]
-    P = params["wp"].shape[1]
+    H, P = weight_shape(params["wp"])
     if state is None:
         state = lstm_zero_state(B, H, P, x.dtype)
 
@@ -126,7 +129,7 @@ def lstm_layer(
         return lstm_seq(params, x, state)
 
     # Hoisted input projection: one big MXU matmul over all timesteps.
-    x_proj = jnp.dot(
+    x_proj = qdot(
         x.reshape(B * T, F), params["wx"], preferred_element_type=jnp.float32
     ).reshape(B, T, 4 * H)
 

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from rnnt_tpu.config import RNNTConfig
 from rnnt_tpu.models import lstm as L
+from rnnt_tpu.ops.int8_exec import qtake
 
 
 def init_prediction_params(key, cfg: RNNTConfig, dtype=jnp.float32):
@@ -54,7 +55,7 @@ def predict(
     state: Optional[List[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
 ):
     """Returns (pred_out [B, U+1, P], new_state)."""
-    x = jnp.take(params["embed"], pred_inp, axis=0)
+    x = qtake(params["embed"], pred_inp)
     new_state = []
     for i, layer in enumerate(params["layers"]):
         st = state[i] if state is not None else None

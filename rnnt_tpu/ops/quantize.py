@@ -61,6 +61,37 @@ def dequantize_params(qparams, dtype=jnp.bfloat16) -> Any:
         is_leaf=lambda x: isinstance(x, dict) and set(x) == {"q", "s"})
 
 
+def int8_exec_params(qparams, dtype=jnp.bfloat16,
+                     scope=("prediction", "joint")) -> Any:
+    """Quantized artifact -> mixed tree for TRUE int8 execution.
+
+    Matmul weights under the `scope` top-level keys stay int8 {"q","s"}
+    leaves — the model's qdot/qtake hooks (ops.int8_exec) then compute
+    int8 x int8 -> int32 on the MXU with dynamically-quantized activations;
+    everything else (and out-of-scope components) dequantizes to `dtype`.
+
+    Default scope is prediction + joint: the encoder's Pallas LSTM sequence
+    kernel is bf16/fp32-only (int8 encoder weights would fall back to the
+    slower scan path), and decode latency is dominated by the per-step
+    pred-net + joint weight reads anyway.  Note the Pallas beam kernel
+    (ops.beam_pallas) also needs fp weights — int8 exec pairs with greedy
+    or the XLA beam.
+    """
+
+    def convert(leaf):
+        if isinstance(leaf, dict) and set(leaf) == {"q", "s"}:
+            return {"q": jnp.asarray(leaf["q"]),
+                    "s": jnp.asarray(leaf["s"], jnp.float32)}
+        return jnp.asarray(leaf)
+
+    is_q = lambda x: isinstance(x, dict) and set(x) == {"q", "s"}  # noqa: E731
+    return {
+        top: (jax.tree_util.tree_map(convert, sub, is_leaf=is_q)
+              if top in scope else dequantize_params(sub, dtype))
+        for top, sub in qparams.items()
+    }
+
+
 def quantized_size_bytes(qparams) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(

@@ -14,13 +14,29 @@ use:
 - TCP streaming port — one connection per stream, framed protocol:
   client sends `u32 n | n bytes of float32 PCM` chunks (little-endian), an
   empty frame (n=0) ends the stream; after every chunk the server replies
-  `u32 m | m bytes of UTF-8 JSON {"text": ..., "final": bool}`.  Each
+  `u32 m | m bytes of UTF-8 JSON {"text": ..., "final": bool}` (or
+  `{"error": ..., "final": true}` on protocol violation, then close).  Each
   connection gets its own StreamingTranscriber (carried LSTM state + primed
   causal feature statistics, decode/streaming.py).
 
-Device access is serialized with a lock: decode latency is milliseconds
-(BASELINE.md), so a single chip serves many concurrent light sessions;
-scale-out is one process per chip behind any TCP load balancer.
+Resource hardening (this is beyond-reference surface — SURVEY.md §1: the
+reference has no serving layer — so it must meet production standards):
+- HTTP bodies larger than `max_http_body` are rejected with 413 before the
+  read; TCP frames larger than `max_stream_frame` get an error frame and a
+  close — a hostile u32 length can't OOM the host.
+- Chunk-size contract: the FIRST data frame of a TCP session fixes the
+  session's chunk size; later frames must match it exactly (one smaller
+  final data frame is allowed).  The per-chunk decode program is compiled
+  per distinct chunk length (streaming.py `_run`), so unconstrained sizes
+  would let one client compile-churn the serving chip.
+
+Device access is serialized with one lock shared by HTTP transcribe calls
+AND all streaming sessions (StreamingTranscriber device_lock=...), blocking
+until device completion inside the lock: decode latency is milliseconds
+(BASELINE.md), so a single chip serves many concurrent light sessions
+fairly; scale-out is one process per chip behind any TCP load balancer.
+The lock also covers jit compiles — `Server(warmup=True)` pre-compiles the
+common greedy buckets at startup so first requests don't pay one.
 """
 
 from __future__ import annotations
@@ -68,8 +84,32 @@ class TranscriptionService:
             self.state = self.state._replace(
                 params=dequantize_params(q, dtype))
         self.model = Transducer(self.cfg)
+        self.backend = jax.default_backend()  # not per-request (info())
         self._decoders = {}
         self._lock = threading.Lock()
+
+    def warmup(self, t_pads=(256, 512), beams=(0,)) -> float:
+        """Pre-compile decoders for the common (beam, bucket) keys.
+
+        First-request compiles block ALL traffic for the full compile (the
+        device lock covers them; minutes through a remote-attached chip).
+        Returns seconds spent, so callers can log it."""
+        import time
+
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        feat = self.cfg.input_feat_size
+        for beam in beams:
+            for t_pad in t_pads:
+                mel = jnp.zeros((1, t_pad, feat), jnp.float32)
+                sl = jnp.asarray([t_pad], jnp.int32)
+                with self._lock:
+                    import jax
+
+                    jax.block_until_ready(
+                        self._decoder(beam, t_pad)(self.state.params, mel, sl))
+        return time.perf_counter() - t0
 
     def _decoder(self, beam: int, t_pad: int):
         import jax
@@ -112,21 +152,24 @@ class TranscriptionService:
         mel_p = np.zeros((1, t_pad, mel.shape[1]), np.float32)
         mel_p[0, : mel.shape[0]] = mel
         with self._lock:
-            tokens, lengths = self._decoder(beam, t_pad)(
-                self.state.params, jnp.asarray(mel_p),
-                jnp.asarray([t], jnp.int32))
+            import jax
+
+            tokens, lengths = jax.block_until_ready(
+                self._decoder(beam, t_pad)(
+                    self.state.params, jnp.asarray(mel_p),
+                    jnp.asarray([t], jnp.int32)))
         ids = np.asarray(tokens[0])[: int(lengths[0])].tolist()
         return self.tokenizer.decode(ids)
 
     def new_stream(self):
         from rnnt_tpu.decode.streaming import StreamingTranscriber
 
+        # sessions share the chip with HTTP: same lock (module docstring)
         return StreamingTranscriber(self.cfg, self.state.params,
-                                    self.tokenizer)
+                                    self.tokenizer,
+                                    device_lock=self._lock)
 
     def info(self) -> dict:
-        import jax
-
         return {
             "model": "rnnt",
             "vocab_size": self.cfg.vocab_size,
@@ -134,11 +177,19 @@ class TranscriptionService:
             "sample_rate": self.cfg.sample_rate,
             "step": int(np.asarray(self.state.step)),
             "quantized": self.quantized,
-            "backend": jax.default_backend(),
+            "backend": self.backend,
         }
 
 
-def _http_handler(service: TranscriptionService):
+# Default resource caps (Server ctor overrides).  64 MiB of WAV is ~35 min
+# of 16 kHz s16 mono — beyond any sane single-utterance request; 8 MiB of
+# float32 PCM is ~2 min of audio in ONE streaming chunk.
+MAX_HTTP_BODY = 64 << 20
+MAX_STREAM_FRAME = 8 << 20
+
+
+def _http_handler(service: TranscriptionService,
+                  max_body: int = MAX_HTTP_BODY):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -168,6 +219,13 @@ def _http_handler(service: TranscriptionService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    # reject BEFORE reading: a hostile Content-Length never
+                    # allocates (413 = Payload Too Large)
+                    self._json(413, {"error": f"body {n} bytes exceeds "
+                                              f"cap {max_body}"})
+                    self.close_connection = True
+                    return
                 body = self.rfile.read(n)
                 beam = int(parse_qs(url.query).get("beam", ["0"])[0])
                 from rnnt_tpu.data.audio_io import read_wav
@@ -191,11 +249,18 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
     return buf
 
 
-def _stream_handler(service: TranscriptionService):
+def _stream_handler(service: TranscriptionService,
+                    max_frame: int = MAX_STREAM_FRAME):
     class Handler(socketserver.BaseRequestHandler):
+        def _error(self, conn, msg: str) -> None:
+            reply = json.dumps({"error": msg, "final": True}).encode()
+            conn.sendall(struct.pack("<I", len(reply)) + reply)
+
         def handle(self):
             st = service.new_stream()
             conn = self.request
+            chunk_bytes = None   # fixed by the first data frame
+            tail_seen = False    # one smaller final data frame allowed
             while True:
                 hdr = _recv_exact(conn, 4)
                 if hdr is None:
@@ -204,6 +269,27 @@ def _stream_handler(service: TranscriptionService):
                 if n == 0:
                     text, final = st.flush(), True
                 else:
+                    if n > max_frame:
+                        # never allocate a hostile length
+                        self._error(conn, f"frame {n} bytes exceeds cap "
+                                          f"{max_frame}")
+                        return
+                    if n % 4:
+                        self._error(conn, f"frame {n} bytes is not a whole "
+                                          "number of float32 samples")
+                        return
+                    # chunk-size contract (module docstring): first data
+                    # frame fixes the size; later frames must match, except
+                    # one smaller tail frame right before the terminator —
+                    # bounds the set of compiled per-chunk programs.
+                    if chunk_bytes is None:
+                        chunk_bytes = n
+                    elif tail_seen or n > chunk_bytes:
+                        self._error(conn, f"chunk size {n} violates session "
+                                          f"size {chunk_bytes}")
+                        return
+                    elif n < chunk_bytes:
+                        tail_seen = True
                     payload = _recv_exact(conn, n)
                     if payload is None:
                         return
@@ -222,13 +308,21 @@ class Server:
 
     def __init__(self, checkpoint_dir: str, host: str = "127.0.0.1",
                  http_port: int = 8080, stream_port: int = 8081,
-                 quantized: Optional[str] = None):
+                 quantized: Optional[str] = None, warmup: bool = False,
+                 max_http_body: int = MAX_HTTP_BODY,
+                 max_stream_frame: int = MAX_STREAM_FRAME):
         self.service = TranscriptionService(checkpoint_dir,
                                             quantized=quantized)
-        self.http = ThreadingHTTPServer((host, http_port),
-                                        _http_handler(self.service))
+        if warmup:
+            self.warmup_seconds = self.service.warmup()
+        else:
+            self.warmup_seconds = 0.0
+        self.http = ThreadingHTTPServer(
+            (host, http_port),
+            _http_handler(self.service, max_body=max_http_body))
         self.stream = socketserver.ThreadingTCPServer(
-            (host, stream_port), _stream_handler(self.service),
+            (host, stream_port),
+            _stream_handler(self.service, max_frame=max_stream_frame),
             bind_and_activate=False)
         self.stream.daemon_threads = True
         self.stream.allow_reuse_address = True

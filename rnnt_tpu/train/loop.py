@@ -67,27 +67,35 @@ def run_evaluate(
     max_batches: int = 0,
     decode: str = "greedy",
     loss_impl: str = "fused",
+    loss_metrics: bool = True,
 ) -> Dict[str, float]:
     """Evaluate loss (+ decode accuracy/CER/WER) over a dataset.
 
     decode: "greedy" (default, ref parity) or "beam" (BASELINE config #3 —
     beam-search WER vs greedy).
 
+    loss_metrics=False skips the RNN-T loss entirely (eval_loss = nan):
+    needed for int8-exec params (ops/quantize.int8_exec_params), whose
+    {"q","s"} joint leaves the Pallas loss kernels can't consume — decode
+    metrics are the point of that measurement anyway.
+
     loss_impl defaults to "fused": standalone eval must never fall back to a
     lattice-materializing loss — at parity geometry (B=32, T'=384, U+1=129,
     V=4096) the [B,T,U+1,V] logits are ~26 GB fp32, dead on one chip.  The
     reference evals with the same kernel it trains with (run_rnnt.py:380-441).
     """
-    eval_step = eval_step or make_eval_step(cfg, loss_impl=loss_impl)
+    if loss_metrics:
+        eval_step = eval_step or make_eval_step(cfg, loss_impl=loss_impl)
 
     losses, n = [], 0
     refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
     for batch in eval_batches:
         n += 1
         num_real = int(batch.get("num_real", batch["labels"].shape[0]))
-        m = eval_step(state.params, {k: v for k, v in batch.items()
-                                     if k != "num_real"})
-        losses.extend(np.asarray(m["nll"])[:num_real].tolist())
+        if loss_metrics:
+            m = eval_step(state.params, {k: v for k, v in batch.items()
+                                         if k != "num_real"})
+            losses.extend(np.asarray(m["nll"])[:num_real].tolist())
         if decode_metrics:
             # decoder per padded label width (buckets are a closed set), with
             # params as an ARGUMENT — the jit cache persists across periodic
