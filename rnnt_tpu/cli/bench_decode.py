@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--int8", action="store_true",
+                   help="also bench greedy decode with TRUE int8 execution "
+                        "of pred-net+joint (ops/int8_exec qdot) vs the "
+                        "dequantized-weight path — the BASELINE int8 "
+                        "latency/HBM measurement")
     args = p.parse_args(argv)
 
     from rnnt_tpu.decode.beam import beam_search_encoded
@@ -89,11 +94,37 @@ def main(argv=None):
                 max_output_length=args.max_output_length,
                 expansions_per_frame=6)),
     }
+    if args.int8:
+        from rnnt_tpu.ops.quantize import (dequantize_params,
+                                           int8_exec_params, quantize_params)
+
+        q = quantize_params(params)
+        deq = dequantize_params(q, dt)
+        mixed = int8_exec_params(q, dt)
+
+        def _wbytes(tree):
+            import jax as _j
+
+            return sum(x.nbytes for x in _j.tree_util.tree_leaves(tree))
+
+        print(f"int8 exec: pred+joint weights "
+              f"{_wbytes(mixed['prediction']) + _wbytes(mixed['joint']):,} B "
+              f"vs dequant "
+              f"{_wbytes(deq['prediction']) + _wbytes(deq['joint']):,} B")
+        runs["greedy int8-exec"] = jax.jit(
+            lambda e, l: greedy_decode_encoded(
+                model, mixed, e, l,
+                max_output_length=args.max_output_length))
+        runs["greedy dequant"] = jax.jit(
+            lambda e, l: greedy_decode_encoded(
+                model, deq, e, l,
+                max_output_length=args.max_output_length))
+
     print(f"B={B} T'={T} vocab={cfg.vocab_size} dtype={dt.__name__} "
           f"({audio_s:.0f} audio-s/batch)")
     for name, fn in runs.items():
         dt_s = _time(fn, (enc, lens), args.reps)
-        print(f"{name:16s} {dt_s * 1e3:8.2f} ms/batch   "
+        print(f"{name:20s} {dt_s * 1e3:8.2f} ms/batch   "
               f"{audio_s / dt_s:10.0f} audio-s/s")
 
 

@@ -40,7 +40,10 @@ def main():
                         "(0 = --vocab_size); with --pad_vocab the rest is "
                         "reserved padding, decoupling target granularity "
                         "(letters/syllables vs whole words) from the joint "
-                        "softmax width")
+                        "softmax width. Floor: the single-character alphabet "
+                        "(+blank) is always kept for encodability, so the "
+                        "effective vocab never drops below 1 + alphabet even "
+                        "for smaller values")
     p.add_argument("--max_length", type=float, default=17.0,
                    help="drop utterances longer than this many seconds "
                         "(preprocessing.py:264-266)")

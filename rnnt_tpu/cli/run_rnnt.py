@@ -140,8 +140,9 @@ def main(argv=None):
 
     from rnnt_tpu.data import pipeline
     from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
-    from rnnt_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                        replicated_sharding, shard_params)
+    from rnnt_tpu.parallel.mesh import (batch_sharding, data_read_group,
+                                        make_mesh, replicated_sharding,
+                                        shard_params)
     from rnnt_tpu.train import checkpoint as ckpt_mod
     from rnnt_tpu.train.loop import run_evaluate, run_training
     from rnnt_tpu.train.state import create_train_state
@@ -251,14 +252,19 @@ def main(argv=None):
     # and counts exactly the examples the bucketer will keep: anything over
     # the --pad_frames/--pad_tokens bounds is dropped by bucket_batches, so
     # counting raw records would over-estimate and still deadlock.
+    # Disjoint reads are keyed by DATA-ROW group, not raw process index:
+    # processes replicating the same data rows (model axis spanning hosts)
+    # must read identical streams (parallel/mesh.data_read_group).
+    read_group, read_groups = data_read_group(mesh)
+
     def _local_batches(split):
         from rnnt_tpu.data import records as records_mod
 
         kept = sum(
             1 for d in records_mod.scan_lengths(
                 os.path.join(args.data_dir, f"{split}-*.rnr"),
-                process_index=jax.process_index(),
-                process_count=jax.process_count())
+                process_index=read_group,
+                process_count=read_groups)
             if d.get("spec_lengths", 0) <= args.pad_frames
             and d.get("label_lengths", 0) <= args.pad_tokens)
         return -(-kept // args.batch_size)  # ceil: flush_partial
@@ -281,10 +287,11 @@ def main(argv=None):
         def gen(epoch=0):
             stream = pipeline.batches_from_shards(
                 os.path.join(args.data_dir, f"{split}-*.rnr"), args.batch_size,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
+                process_index=read_group,
+                process_count=read_groups,
                 shuffle_buffer=args.shuffle_buffer if shuffle else 0,
-                seed=epoch * 9973 + jax.process_index(),
+                # seed by GROUP so same-group processes shuffle identically
+                seed=epoch * 9973 + read_group,
                 reader_threads=args.reader_threads if shuffle else 1,
                 **bucket_kw)
             # background the host-side batch assembly so it overlaps device
@@ -339,6 +346,10 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile_dir)
 
     multihost = jax.process_count() > 1
+    # Model axis spanning processes (read_groups < processes): eval/decode
+    # programs contain cross-host collectives, so eval batches must be
+    # assembled into global arrays too (host-local numpy can't feed them).
+    tp_spans_processes = multihost and read_groups < jax.process_count()
     with jax.sharding.set_mesh(mesh):
         if args.mode == "train":
             run_training(
@@ -355,6 +366,7 @@ def main(argv=None):
                 loss_impl=args.loss_impl,
                 ckpt_backend=args.ckpt_backend,
                 eval_multihost=multihost,
+                eval_shard_batch=shard_batch if tp_spans_processes else None,
             )
         else:
             if not args.checkpoint:
@@ -372,7 +384,8 @@ def main(argv=None):
                 decode=args.decode, loss_impl=args.loss_impl,
                 # int8-exec {"q","s"} joint leaves can't feed the loss
                 # kernels; WER/CER are the int8 measurement anyway
-                loss_metrics=not (args.quantized and args.int8_exec))
+                loss_metrics=not (args.quantized and args.int8_exec),
+                shard_batch=shard_batch if tp_spans_processes else None)
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
 

@@ -44,10 +44,22 @@ class RNNTConfig:
     pred_net_size: int = 2048
     joint_size: int = 640
     dropout: float = 0.0
+    # Initial bias on the blank logit (id 0) in the joint output layer.
+    # 0.0 = exact reference init (Keras Dense zeros, model.py:158-166).
+    # A NEGATIVE value counteracts the blank-sink local optimum RNN-T
+    # training falls into at depth (the lattice posterior mass collapses
+    # onto the all-blank path early and argmax never emits): starting with
+    # blank de-emphasized keeps label gradients alive while the encoder is
+    # still random.  Training-dynamics knob only — the converged model
+    # relearns whatever bias it wants.
+    init_blank_bias: float = 0.0
 
     # Optimization (ref: hparams.py:37, run_rnnt.py:483-488)
     learning_rate: float = 1e-4
     momentum: float = 0.9
+    # "sgd" = reference parity (SGD + momentum).  "adam" (beyond-ref) is
+    # what converges at parity depth — see train/state.make_optimizer.
+    optimizer: str = "sgd"
     grad_clip_norm: float = 0.0             # 0 = off (reference has none)
     # LR schedule (beyond-ref; the reference is constant-lr only).  Deep
     # LSTM stacks at parity scale see 100x-over-clip gradient norms for the

@@ -22,6 +22,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 from rnnt_tpu.data import vocabulary
 
 WORD_MARK = "▁"  # sentencepiece-style word-start marker
+RESERVED_MARK = "\x00"  # prefix of never-matching --pad_vocab filler pieces
 SUBWORD_FILENAME = "encoder.subwords"  # parity: run_rnnt.py:461-463
 
 
@@ -80,6 +81,20 @@ class SubwordTokenizer:
     def vocab_size(self) -> int:
         return len(self.pieces)
 
+    @property
+    def learned_piece_count(self) -> int:
+        """Number of LEARNED (merge-produced) pieces: non-reserved pieces
+        whose body spans >1 character.  Single-character pieces are the
+        alphabet fallback; merges always concatenate, so this is exact."""
+        n = 0
+        for p in self.pieces[1:]:
+            if p.startswith(RESERVED_MARK):
+                continue
+            body = p[len(WORD_MARK):] if p.startswith(WORD_MARK) else p
+            if len(body) > 1:
+                n += 1
+        return n
+
     # --- encoding: greedy longest-match over the piece vocabulary ---
 
     def _encode_word(self, word: str, out: List[int]) -> None:
@@ -104,7 +119,7 @@ class SubwordTokenizer:
     def decode(self, ids: Sequence[int]) -> str:
         s = "".join(self.pieces[i] for i in ids
                     if 0 < i < len(self.pieces)
-                    and not self.pieces[i].startswith("\x00"))  # reserved pad
+                    and not self.pieces[i].startswith(RESERVED_MARK))
         return s.replace(WORD_MARK, " ").strip()
 
     # --- persistence (same sidecar contract as encoder.subwords) ---
@@ -365,7 +380,29 @@ def get_tokenizer(
         return CharTokenizer()
     if token_type == "word-piece":
         if SubwordTokenizer.exists(directory):
-            return SubwordTokenizer.load(directory)
+            tok = SubwordTokenizer.load(directory)
+            # A persisted tokenizer always wins (the shard ids were written
+            # with it), but silently ignoring different requested settings
+            # hides a stale vocabulary (ADVICE r2): re-running preprocess
+            # with a new --vocab_size/--bpe_pieces into an existing output
+            # dir does NOT retrain.  Delete the sidecar to rebuild.
+            import warnings
+
+            if tok.vocab_size != vocab_size:
+                warnings.warn(
+                    f"persisted tokenizer in {directory} has vocab_size "
+                    f"{tok.vocab_size}, but {vocab_size} was requested; "
+                    f"keeping the persisted one — delete {SUBWORD_FILENAME} "
+                    f"there to retrain", stacklevel=2)
+            elif (learn_vocab_size and learn_vocab_size > 0
+                  and tok.learned_piece_count > learn_vocab_size):
+                warnings.warn(
+                    f"persisted tokenizer in {directory} has "
+                    f"{tok.learned_piece_count} learned pieces, above the "
+                    f"requested --bpe_pieces cap {learn_vocab_size}; keeping "
+                    f"the persisted one — delete {SUBWORD_FILENAME} there to "
+                    f"retrain", stacklevel=2)
+            return tok
         if corpus is None:
             raise FileNotFoundError(
                 f"no {SUBWORD_FILENAME} in {directory} and no corpus given")

@@ -28,11 +28,15 @@ def init_joint_params(key, cfg: RNNTConfig, dtype=jnp.float32):
         lim = (6.0 / (shape[0] + shape[1])) ** 0.5
         return jax.random.uniform(k, shape, dtype, -lim, lim)
 
+    b2 = jnp.zeros((cfg.vocab_size,), dtype)
+    if cfg.init_blank_bias:
+        # de-emphasize blank at init (config.init_blank_bias docstring)
+        b2 = b2.at[0].set(jnp.asarray(cfg.init_blank_bias, dtype))
     return {
         "w1": glorot(k1, (cfg.projection_size, cfg.joint_size)),
         "b1": jnp.zeros((cfg.joint_size,), dtype),
         "w2": glorot(k2, (cfg.joint_size, cfg.vocab_size)),
-        "b2": jnp.zeros((cfg.vocab_size,), dtype),
+        "b2": b2,
     }
 
 

@@ -47,6 +47,45 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def data_read_group(mesh: Mesh):
+    """(group_index, group_count): this process's slice of the input stream.
+
+    Multi-host input must be split by DATA-ROW ownership, not by process:
+    processes whose local devices sit in the same rows of the data axis hold
+    replicas of the same batch rows (a model axis spanning processes), so
+    they must read IDENTICAL data — splitting by process_index there would
+    hand each replica different examples and silently corrupt the TP psums.
+    Processes covering the same data rows share one read group; groups are
+    pairwise disjoint in rows, so groups partition the stream exactly like
+    process_index/process_count does in the pure-DP case (where each process
+    owns its own rows and group == process).
+    """
+    rows = {}  # process_index -> row-index set
+    dev = mesh.devices
+    for r in range(dev.shape[0]):
+        for d in dev[r].ravel():
+            rows.setdefault(d.process_index, set()).add(r)
+    groups = {}
+    for p, rs in sorted(rows.items()):
+        groups.setdefault(tuple(sorted(rs)), []).append(p)
+    ordered = sorted(groups)
+    # row sets must be identical-or-disjoint; a partially-overlapping split
+    # (a data row whose devices straddle processes while siblings don't)
+    # has no consistent host-side read assignment
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1:]:
+            assert not (set(a) & set(b)), (
+                f"unsupported mesh/process layout: data rows {a} and {b} "
+                f"partially overlap across processes — choose model_parallel "
+                f"so each data row lives in one process, or so whole rows "
+                f"are shared")
+    me = jax.process_index()
+    for gi, key in enumerate(ordered):
+        if me in groups[key]:
+            return gi, len(ordered)
+    return 0, 1  # this process hosts no mesh devices
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis batch sharding for input arrays (ref: run_rnnt.py:87-88)."""
     return NamedSharding(mesh, P("data"))

@@ -88,12 +88,14 @@ class TranscriptionService:
         self._decoders = {}
         self._lock = threading.Lock()
 
-    def warmup(self, t_pads=(256, 512), beams=(0,)) -> float:
+    def warmup(self, t_pads=(64, 128, 256, 512), beams=(0,)) -> float:
         """Pre-compile decoders for the common (beam, bucket) keys.
 
         First-request compiles block ALL traffic for the full compile (the
         device lock covers them; minutes through a remote-attached chip).
-        Returns seconds spent, so callers can log it."""
+        Default buckets cover ~1-40 s utterances (power-of-two frame
+        buckets, see transcribe()).  Returns seconds spent, so callers can
+        log it."""
         import time
 
         import jax.numpy as jnp

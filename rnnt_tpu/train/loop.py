@@ -68,6 +68,7 @@ def run_evaluate(
     decode: str = "greedy",
     loss_impl: str = "fused",
     loss_metrics: bool = True,
+    shard_batch: Optional[Callable[[Dict], Dict]] = None,
 ) -> Dict[str, float]:
     """Evaluate loss (+ decode accuracy/CER/WER) over a dataset.
 
@@ -78,6 +79,14 @@ def run_evaluate(
     needed for int8-exec params (ops/quantize.int8_exec_params), whose
     {"q","s"} joint leaves the Pallas loss kernels can't consume — decode
     metrics are the point of that measurement anyway.
+
+    shard_batch: assemble each batch into global arrays before the jitted
+    calls.  REQUIRED when the params are sharded across processes (a model
+    axis spanning hosts): eval_step/decode are then cross-process SPMD
+    programs that host-local numpy inputs can't feed.  Metrics keep reading
+    the original host-local numpy copy (valid when the data axis is
+    replicated within this host's read group — the supported
+    TP-across-hosts layout).
 
     loss_impl defaults to "fused": standalone eval must never fall back to a
     lattice-materializing loss — at parity geometry (B=32, T'=384, U+1=129,
@@ -92,21 +101,25 @@ def run_evaluate(
     for batch in eval_batches:
         n += 1
         num_real = int(batch.get("num_real", batch["labels"].shape[0]))
+        host_batch = batch  # metrics below index the host-local copy
+        dev_batch = {k: v for k, v in batch.items() if k != "num_real"}
+        if shard_batch is not None:
+            dev_batch = shard_batch(dev_batch)
         if loss_metrics:
-            m = eval_step(state.params, {k: v for k, v in batch.items()
-                                         if k != "num_real"})
+            m = eval_step(state.params, dev_batch)
             losses.extend(np.asarray(m["nll"])[:num_real].tolist())
         if decode_metrics:
             # decoder per padded label width (buckets are a closed set), with
             # params as an ARGUMENT — the jit cache persists across periodic
             # evals instead of recompiling on every fresh closure.
-            max_out = int(batch["labels"].shape[1] * 2 + 8)
+            max_out = int(host_batch["labels"].shape[1] * 2 + 8)
             decoder = _get_decoder(cfg, decode, max_out)
             tokens, lengths = decoder(
-                state.params, batch["mel_specs"], batch["spec_lengths"])
+                state.params, dev_batch["mel_specs"],
+                dev_batch["spec_lengths"])
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-            labels = np.asarray(batch["labels"])
-            lab_lens = np.asarray(batch["label_lengths"])
+            labels = np.asarray(host_batch["labels"])
+            lab_lens = np.asarray(host_batch["label_lengths"])
             for i in range(num_real):
                 ref_ids = labels[i, : lab_lens[i]].tolist()
                 hyp_ids = tokens[i, : lengths[i]].tolist()
@@ -167,6 +180,7 @@ def run_training(
     loss_impl: str = "fused",
     ckpt_backend: str = "auto",
     eval_multihost: bool = False,
+    eval_shard_batch: Optional[Callable[[Dict], Dict]] = None,
 ) -> TrainState:
     """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
     (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
@@ -214,7 +228,8 @@ def run_training(
             t0 = time.time()
             metrics = run_evaluate(
                 cfg, state, eval_batches_fn(), tokenizer=tokenizer,
-                eval_step=eval_step, max_batches=eval_max_batches)
+                eval_step=eval_step, max_batches=eval_max_batches,
+                shard_batch=eval_shard_batch)
             metrics["eval_seconds"] = time.time() - t0
             if jax.process_index() == 0:
                 writer.scalars(int(np.asarray(state.step)), metrics)

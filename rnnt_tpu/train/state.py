@@ -51,8 +51,20 @@ def lr_schedule(cfg: RNNTConfig):
 
 def make_optimizer(cfg: RNNTConfig) -> optax.GradientTransformation:
     """SGD + momentum at the reference's settings (run_rnnt.py:483-484),
-    optionally under a warmup/cosine lr schedule (`lr_schedule`)."""
-    tx = [optax.trace(decay=cfg.momentum, nesterov=False)]
+    optionally under a warmup/cosine lr schedule (`lr_schedule`).
+
+    optimizer="adam" is a beyond-ref option: per-parameter adaptive scaling
+    is what actually trains the 8-layer stack at parity scale — measured on
+    the synthetic campaign, SGD+momentum leaves the encoder nearly frozen
+    (2% parameter movement over 4k steps vs 37-52% for pred/joint: the
+    blank-dominated lattice starves encoder gradients relative to the
+    LM-ish pred/joint path, and a global lr can't serve both)."""
+    if cfg.optimizer == "adam":
+        tx = [optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9)]
+    elif cfg.optimizer == "sgd":
+        tx = [optax.trace(decay=cfg.momentum, nesterov=False)]
+    else:
+        raise ValueError(f"optimizer={cfg.optimizer!r} (want 'sgd' or 'adam')")
     if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
         tx.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
     if cfg.warmup_steps > 0 or cfg.lr_schedule != "constant":

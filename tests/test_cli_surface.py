@@ -163,3 +163,28 @@ def test_run_rnnt_quantized_eval_cli(data_dir, run_dir, capsys):
                    "--batch_size", "8", "--no-bf16", "--quantized", qpath])
     out = capsys.readouterr().out
     assert "eval_loss=" in out and "eval_wer=" in out
+
+
+def test_run_rnnt_int8_exec_eval_cli(data_dir, run_dir, capsys):
+    """--quantized --int8_exec evals with TRUE int8 pred+joint compute:
+    decode metrics print (loss is skipped by design — eval_loss=nan) and the
+    WER matches the dequantized-weight eval on this tiny model."""
+    import re
+
+    from rnnt_tpu.cli import quantize_model, run_rnnt
+
+    qpath = os.path.join(str(run_dir), "model_int8.npz")
+    if not os.path.exists(qpath):
+        quantize_model.main(["--checkpoint", str(run_dir)])
+        capsys.readouterr()
+    common = ["--mode", "test", "--data_dir", str(data_dir),
+              "--output_dir", str(run_dir), "--checkpoint", str(run_dir),
+              "--batch_size", "8", "--no-bf16", "--quantized", qpath]
+    run_rnnt.main(common)
+    wer_deq = re.search(r"eval_wer=([0-9.]+)", capsys.readouterr().out)
+    run_rnnt.main(common + ["--int8_exec"])
+    out = capsys.readouterr().out
+    assert "eval_loss=nan" in out, out
+    wer_int8 = re.search(r"eval_wer=([0-9.]+)", out)
+    assert wer_deq and wer_int8, out
+    assert abs(float(wer_int8.group(1)) - float(wer_deq.group(1))) < 0.05

