@@ -58,7 +58,7 @@ def _worker_env(n_devices: int = 4) -> dict:
     return env
 
 
-def _run_pair(args_common, port, timeout=420, n_devices=4):
+def _run_pair(args_common, port, timeout=900, n_devices=4):
     """Launch run_rnnt twice (process_id 0/1); returns both CompletedProcess."""
     procs = []
     for pid in (0, 1):
@@ -76,7 +76,7 @@ def _run_pair(args_common, port, timeout=420, n_devices=4):
     return outs
 
 
-def _run_single(args, timeout=420, n_devices=4):
+def _run_single(args, timeout=900, n_devices=4):
     cmd = [sys.executable, "-m", "rnnt_tpu.cli.run_rnnt"] + args
     r = subprocess.run(cmd, cwd=REPO, env=_worker_env(n_devices),
                        timeout=timeout,
