@@ -8,18 +8,20 @@
 # --checkpoint auto makes relaunches resume-safe.
 #
 # Usage: campaign/launch.sh <logfile> <outdir> [extra run_rnnt args...]
+# DATA env var overrides the dataset dir (default campaign/data).
 set -u
 LOG=$1; shift
 OUT=$1; shift
 WAIT_S=${WAIT_S:-420}
 COOL_S=${COOL_S:-90}
 TRIES=${TRIES:-8}
+DATA=${DATA:-campaign/data}
 
 cd /root/repo
 for attempt in $(seq 1 "$TRIES"); do
   echo "[launch] attempt $attempt $(date +%H:%M:%S)" >> "$LOG.launcher"
   PYTHONPATH=/root/repo:/root/.axon_site python -u campaign/train_wrapper.py \
-    --mode train --data_dir campaign/data --output_dir "$OUT" \
+    --mode train --data_dir "$DATA" --output_dir "$OUT" \
     --checkpoint auto "$@" >> "$LOG" 2>&1 &
   pid=$!
   # wait for the first step line (or process exit)

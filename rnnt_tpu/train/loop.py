@@ -285,6 +285,9 @@ def run_training(
                     writer.scalars(step, {
                         "train_loss": loss,
                         "grad_norm": float(m["grad_norm"]),
+                        # per-subtree norms: encoder-starvation diagnostics
+                        **{k: float(m[k]) for k in m
+                           if k.startswith("grad_norm_")},
                         "lr": float(m["lr"]),
                         "step_seconds": sec_per_step,
                     })

@@ -60,7 +60,11 @@ def make_optimizer(cfg: RNNTConfig) -> optax.GradientTransformation:
     blank-dominated lattice starves encoder gradients relative to the
     LM-ish pred/joint path, and a global lr can't serve both)."""
     if cfg.optimizer == "adam":
-        tx = [optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9)]
+        # mu in fp32 even under bf16 params: the first moment is a small
+        # signal accumulated across steps — bf16 rounding there visibly
+        # hurts; nu tolerates bf16 (range, not mantissa, is what sqrt needs)
+        tx = [optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9,
+                                  mu_dtype=jnp.float32)]
     elif cfg.optimizer == "sgd":
         tx = [optax.trace(decay=cfg.momentum, nesterov=False)]
     else:

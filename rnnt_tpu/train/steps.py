@@ -125,6 +125,13 @@ def make_train_step(cfg: RNNTConfig, *, loss_impl: str = "auto", donate: bool = 
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            # Per-subtree gradient norms: the signal that caught the
+            # parity-scale encoder starvation (SGD left the encoder at ~2%
+            # movement while pred/joint raced ahead).  Near-free: the norms
+            # reuse gradients already in registers.
+            "grad_norm_encoder": optax.global_norm(grads["encoder"]),
+            "grad_norm_prediction": optax.global_norm(grads["prediction"]),
+            "grad_norm_joint": optax.global_norm(grads["joint"]),
             # current lr (schedule evaluated at the pre-update step) so the
             # campaign loss-curve evidence records what drove each step
             "lr": state_mod.lr_schedule(cfg)(state.step),
