@@ -304,8 +304,16 @@ def _beam_kernel(*refs, n_layers, Bt, K, L, Vp, nT, dt, E, merge):
                 r_sc = pltpu.roll(blanked_sc, sh, axis=0)
                 eq = (slot + s >= 0) & (slot + s < K)
                 eq &= r_len == sl_len
-                eq &= jnp.all(jnp.where(l_iota < sl_len, r_tok == sl_tok,
-                                        True), axis=1, keepdims=True)
+                # count mismatches in int32 instead of jnp.all over a bool
+                # vector: Mosaic lowers the [N, L] i1 reduce via an i8->i1
+                # trunci that is unsupported at non-lane-aligned L (seen at
+                # L=104 = 2*pad_tokens+8 on v5e: "Unsupported target
+                # bitwidth for truncation")
+                mism = jnp.sum(
+                    jnp.where(l_iota < sl_len,
+                              (r_tok != sl_tok).astype(jnp.int32), 0),
+                    axis=1, keepdims=True)
+                eq &= mism == 0
                 eq &= (sl_sc > NEG / 2) & (r_sc > NEG / 2) & alive
                 mx = jnp.maximum(merged_sc, r_sc)
                 mn = jnp.minimum(merged_sc, r_sc)
