@@ -20,6 +20,9 @@ DATA=${DATA:-campaign/data}
 cd /root/repo
 for attempt in $(seq 1 "$TRIES"); do
   echo "[launch] attempt $attempt $(date +%H:%M:%S)" >> "$LOG.launcher"
+  # only watch log content appended by THIS attempt (resume relaunches
+  # append to a log that already contains step lines)
+  offset=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
   PYTHONPATH=/root/repo:/root/.axon_site python -u campaign/train_wrapper.py \
     --mode train --data_dir "$DATA" --output_dir "$OUT" \
     --checkpoint auto "$@" >> "$LOG" 2>&1 &
@@ -34,7 +37,7 @@ for attempt in $(seq 1 "$TRIES"); do
       if [ "$rc" -eq 0 ]; then exit 0; fi
       ok=2; break
     fi
-    if grep -q "step " "$LOG"; then ok=1; break; fi
+    if tail -c "+$((offset + 1))" "$LOG" | grep -q "step "; then ok=1; break; fi
   done
   if [ "$ok" -eq 1 ]; then
     echo "[launch] steps flowing; waiting for completion" >> "$LOG.launcher"
