@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--stream_port", type=int, default=8081)
     p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ",
                    help="serve from an int8 cli.quantize_model artifact")
+    p.add_argument("--int8_exec", action="store_true",
+                   help="with --quantized: EXECUTE pred-net+joint in int8 "
+                        "(1.43x faster greedy decode, half the weight HBM "
+                        "— BASELINE.md); greedy only, beam requests 400")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip pre-compiling the common greedy decode "
                         "buckets at startup (first requests then pay the "
@@ -40,7 +44,7 @@ def main(argv=None):
     enable_compile_cache()
     srv = Server(args.checkpoint, host=args.host, http_port=args.http_port,
                  stream_port=args.stream_port, quantized=args.quantized,
-                 warmup=args.warmup)
+                 int8_exec=args.int8_exec, warmup=args.warmup)
     if srv.warmup_seconds:
         print(f"warmup: pre-compiled greedy buckets in "
               f"{srv.warmup_seconds:.1f}s")

@@ -57,10 +57,15 @@ class TranscriptionService:
     """Checkpoint -> reusable transcribe/stream entry points.
 
     quantized: path to a cli.quantize_model int8 artifact — serve from the
-    3.85x-smaller weights (measured zero WER delta, BASELINE.md)."""
+    ~4x-smaller weights (measured zero WER delta, BASELINE.md).
+    int8_exec: with `quantized`, EXECUTE pred-net+joint matmuls in int8
+    (int8xint8->int32 MXU, dynamic activation quantization — measured
+    1.43x faster greedy decode at half the weight HBM, BASELINE.md).
+    Greedy-only: beam requests are rejected (the Pallas beam kernel needs
+    fp weights), and streaming sessions use the int8 weights too."""
 
     def __init__(self, checkpoint_dir: str, dtype=None,
-                 quantized: Optional[str] = None):
+                 quantized: Optional[str] = None, int8_exec: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -77,12 +82,18 @@ class TranscriptionService:
         self.state = ckpt_mod.restore_checkpoint(checkpoint_dir, self.cfg,
                                                  dtype)
         self.quantized = bool(quantized)
+        self.int8_exec = bool(quantized) and int8_exec
+        if int8_exec and not quantized:
+            raise ValueError("int8_exec requires a quantized artifact")
         if quantized:
-            from rnnt_tpu.ops.quantize import dequantize_params, load_quantized
+            from rnnt_tpu.ops.quantize import (dequantize_params,
+                                               int8_exec_params,
+                                               load_quantized)
 
             q = load_quantized(quantized, self.state.params)
             self.state = self.state._replace(
-                params=dequantize_params(q, dtype))
+                params=(int8_exec_params(q, dtype) if self.int8_exec
+                        else dequantize_params(q, dtype)))
         self.model = Transducer(self.cfg)
         self.backend = jax.default_backend()  # not per-request (info())
         self._decoders = {}
@@ -140,6 +151,9 @@ class TranscriptionService:
 
     def transcribe(self, audio: np.ndarray, sample_rate: int,
                    beam: int = 0) -> str:
+        if beam > 0 and self.int8_exec:
+            raise ValueError("beam search is unavailable under int8 "
+                             "execution (fp weights required); use greedy")
         import jax.numpy as jnp
 
         from rnnt_tpu.ops import features as F
@@ -179,6 +193,7 @@ class TranscriptionService:
             "sample_rate": self.cfg.sample_rate,
             "step": int(np.asarray(self.state.step)),
             "quantized": self.quantized,
+            "int8_exec": self.int8_exec,
             "backend": self.backend,
         }
 
@@ -310,11 +325,13 @@ class Server:
 
     def __init__(self, checkpoint_dir: str, host: str = "127.0.0.1",
                  http_port: int = 8080, stream_port: int = 8081,
-                 quantized: Optional[str] = None, warmup: bool = False,
+                 quantized: Optional[str] = None, int8_exec: bool = False,
+                 warmup: bool = False,
                  max_http_body: int = MAX_HTTP_BODY,
                  max_stream_frame: int = MAX_STREAM_FRAME):
         self.service = TranscriptionService(checkpoint_dir,
-                                            quantized=quantized)
+                                            quantized=quantized,
+                                            int8_exec=int8_exec)
         if warmup:
             self.warmup_seconds = self.service.warmup()
         else:

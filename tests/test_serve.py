@@ -279,3 +279,24 @@ def test_serve_quantized_weights(served, tmp_path):
     fp_texts = [srv.service.transcribe(a, sr) for a, sr, _ in utts]
     q_texts = [qs.transcribe(a, sr) for a, sr, _ in utts]
     assert q_texts == fp_texts
+
+    # TRUE int8 execution: same transcripts, beam rejected, streams work
+    xs = TranscriptionService(ckpt_dir, quantized=qpath, int8_exec=True)
+    assert xs.info()["int8_exec"] is True
+    x_texts = [xs.transcribe(a, sr) for a, sr, _ in utts]
+    assert x_texts == fp_texts
+    with pytest.raises(ValueError, match="int8 execution"):
+        xs.transcribe(utts[0][0], utts[0][1], beam=2)
+
+    # streaming under int8 exec matches streaming under dequantized
+    # weights (same int8 values; only activation quantization differs —
+    # offline-fp is NOT the right reference: causal streamed features
+    # already differ from offline on a barely-trained toy)
+    def streamed(service, audio):
+        st = service.new_stream()
+        audio = np.asarray(audio, np.float32)
+        for off in range(0, len(audio), 1600):
+            st.process_chunk(audio[off: off + 1600])
+        return st.flush()
+
+    assert streamed(xs, utts[0][0]) == streamed(qs, utts[0][0])
