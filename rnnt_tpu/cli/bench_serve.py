@@ -60,6 +60,10 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=1024,
                    help="streaming chunk size in samples")
     p.add_argument("--no-warmup", dest="warmup", action="store_false")
+    p.add_argument("--quantized", default=None, metavar="MODEL_INT8_NPZ")
+    p.add_argument("--int8_exec", action="store_true",
+                   help="with --quantized: serve the true-int8 execution "
+                        "path (BASELINE int8 serving latency)")
     args = p.parse_args(argv)
 
     from rnnt_tpu.compile_cache import enable_compile_cache
@@ -76,6 +80,7 @@ def main(argv=None):
     # cold start: construction (+ optional warmup) + first request
     t0 = time.perf_counter()
     srv = Server(args.checkpoint, http_port=0, stream_port=0,
+                 quantized=args.quantized, int8_exec=args.int8_exec,
                  warmup=args.warmup)
     srv.serve_background()
     t_up = time.perf_counter() - t0
