@@ -123,6 +123,22 @@ def main(argv=None):
     args = parse_args(argv)
 
     if args.multihost:
+        if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+            # Multi-process CPU (Gloo) collectives: the concurrency-optimized
+            # HLO scheduler lets the thunk executor run a program's
+            # independent collectives on different threads in a rank-varying
+            # order, which nondeterministically deadlocks the Gloo
+            # rendezvous (reproduced at ~50% per run by
+            # scripts/repro_mh_tp.py: both ranks SIGABRT inside the second
+            # periodic eval's eval_step with its collectives never
+            # retiring).  The sequential scheduler totally orders the
+            # thunks identically on every rank — 6/6 repro attempts green
+            # with it, and 0 perf cost in production: TPU never takes this
+            # branch.  Must be set before backend initialization.
+            flag = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
+            if flag not in os.environ.get("XLA_FLAGS", ""):
+                os.environ["XLA_FLAGS"] = (
+                    os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
         import jax
 
         kw = {}
@@ -194,10 +210,10 @@ def main(argv=None):
 
         q = load_quantized(args.quantized, state.params)
         if args.int8_exec:
-            if args.mode == "train" or args.decode == "beam":
+            if args.mode == "train":
                 sys.exit("--int8_exec is an inference path: use --mode "
-                         "eval/test with --decode greedy (the Pallas beam "
-                         "kernel needs fp weights)")
+                         "eval/test (beam decode routes through the XLA "
+                         "beam's int8-aware pred/joint steps)")
             state = state._replace(params=int8_exec_params(q, dtype))
         else:
             state = state._replace(params=dequantize_params(q, dtype))
@@ -367,6 +383,7 @@ def main(argv=None):
                 ckpt_backend=args.ckpt_backend,
                 eval_multihost=multihost,
                 eval_shard_batch=shard_batch if tp_spans_processes else None,
+                eval_shard_row_group=read_group if tp_spans_processes else 0,
             )
         else:
             if not args.checkpoint:
@@ -381,11 +398,17 @@ def main(argv=None):
             # run_evaluate; every process participates, process 0 reports.
             metrics = run_evaluate(
                 cfg, state, eval_stream, tokenizer=tokenizer,
-                decode=args.decode, loss_impl=args.loss_impl,
+                decode=args.decode,
+                # int8 {"q","s"} params need the qdot-aware XLA beam (the
+                # Pallas beam kernel reads fp weights)
+                decode_impl=("xla" if (args.quantized and args.int8_exec)
+                             else "auto"),
+                loss_impl=args.loss_impl,
                 # int8-exec {"q","s"} joint leaves can't feed the loss
                 # kernels; WER/CER are the int8 measurement anyway
                 loss_metrics=not (args.quantized and args.int8_exec),
-                shard_batch=shard_batch if tp_spans_processes else None)
+                shard_batch=shard_batch if tp_spans_processes else None,
+                shard_row_group=read_group if tp_spans_processes else 0)
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
 

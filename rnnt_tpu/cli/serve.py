@@ -31,11 +31,20 @@ def main(argv=None):
     p.add_argument("--int8_exec", action="store_true",
                    help="with --quantized: EXECUTE pred-net+joint in int8 "
                         "(1.43x faster greedy decode, half the weight HBM "
-                        "— BASELINE.md); greedy only, beam requests 400")
+                        "— BASELINE.md); beam requests route through the "
+                        "XLA beam (qdot int8 hooks)")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
-                   help="skip pre-compiling the common greedy decode "
-                        "buckets at startup (first requests then pay the "
-                        "jit compile under the device lock)")
+                   help="skip pre-compiling the common decode buckets at "
+                        "startup (first requests then pay the jit compile "
+                        "under the device lock)")
+    p.add_argument("--warmup_beam", type=int, default=4,
+                   help="beam width to pre-compile alongside greedy "
+                        "(0 = greedy buckets only)")
+    p.add_argument("--max_frames", type=int, default=512,
+                   help="largest frame bucket /transcribe accepts; longer "
+                        "utterances get 413 (one oversized request would "
+                        "otherwise compile+decode a huge program under the "
+                        "device lock, stalling all traffic)")
     args = p.parse_args(argv)
 
     from rnnt_tpu.compile_cache import enable_compile_cache
@@ -44,9 +53,12 @@ def main(argv=None):
     enable_compile_cache()
     srv = Server(args.checkpoint, host=args.host, http_port=args.http_port,
                  stream_port=args.stream_port, quantized=args.quantized,
-                 int8_exec=args.int8_exec, warmup=args.warmup)
+                 int8_exec=args.int8_exec, warmup=args.warmup,
+                 warmup_beams=((0, args.warmup_beam) if args.warmup_beam
+                               else (0,)),
+                 max_t_pad=args.max_frames)
     if srv.warmup_seconds:
-        print(f"warmup: pre-compiled greedy buckets in "
+        print(f"warmup: pre-compiled decode buckets in "
               f"{srv.warmup_seconds:.1f}s")
     print(f"serving {args.checkpoint}: "
           f"http://{args.host}:{srv.http_port} (POST /transcribe, /info), "

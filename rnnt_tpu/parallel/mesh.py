@@ -72,13 +72,17 @@ def data_read_group(mesh: Mesh):
     # row sets must be identical-or-disjoint; a partially-overlapping split
     # (a data row whose devices straddle processes while siblings don't)
     # has no consistent host-side read assignment
+    # ValueError, not assert: under `python -O` an assert vanishes and a
+    # partially-overlapping layout would silently feed TP replicas different
+    # data — exactly the corruption this check exists to prevent (ADVICE r3).
     for i, a in enumerate(ordered):
         for b in ordered[i + 1:]:
-            assert not (set(a) & set(b)), (
-                f"unsupported mesh/process layout: data rows {a} and {b} "
-                f"partially overlap across processes — choose model_parallel "
-                f"so each data row lives in one process, or so whole rows "
-                f"are shared")
+            if set(a) & set(b):
+                raise ValueError(
+                    f"unsupported mesh/process layout: data rows {a} and {b} "
+                    f"partially overlap across processes — choose "
+                    f"model_parallel so each data row lives in one process, "
+                    f"or so whole rows are shared")
     me = jax.process_index()
     for gi, key in enumerate(ordered):
         if me in groups[key]:
