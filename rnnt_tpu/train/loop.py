@@ -135,6 +135,16 @@ def run_evaluate(
     drain = _drain_between_programs()
     losses, n = [], 0
     refs_tok, hyps_tok, refs_txt, hyps_txt = [], [], [], []
+
+    # Two-phase eval (VERDICT r3 weak #8): dispatch EVERY batch's jitted
+    # calls first, fetch results after.  A per-batch np.asarray sync through
+    # a remote-attached chip serializes eval on host round-trips (~2 RTTs x
+    # ~100 ms per batch); deferring the fetches lets the device chew the
+    # whole stream back-to-back while fetches overlap execution.  Host
+    # memory cost is tokens/lengths/nll per batch (~tens of KB) — bounded by
+    # max_batches.  drain mode (multi-process CPU) keeps per-batch blocking:
+    # there the serialization is the collective-correctness contract.
+    pending = []  # (m_dev|None, tok_dev|None, len_dev|None, host_b, num_real)
     for batch in eval_batches:
         n += 1
         num_real = int(batch.get("num_real", batch["labels"].shape[0]))
@@ -142,18 +152,11 @@ def run_evaluate(
         dev_batch = {k: v for k, v in batch.items() if k != "num_real"}
         if shard_batch is not None:
             dev_batch = shard_batch(dev_batch)
-        # Global outputs vs host-local references: when shard_batch built a
-        # global batch, this host's rows sit at its read-group offset in the
-        # global row order (make_array_from_process_local_data stacks the
-        # data axis in mesh-row = read-group order).
-        row0 = shard_row_group * host_batch["labels"].shape[0] \
-            if shard_batch is not None else 0
+        m = tokens = lengths = None
         if loss_metrics:
             m = eval_step(state.params, dev_batch)
             if drain:  # all outputs, not just nll (see _drain_between_programs)
                 m = jax.block_until_ready(m)
-            losses.extend(
-                np.asarray(m["nll"])[row0: row0 + num_real].tolist())
         if decode_metrics:
             # decoder per padded label width (buckets are a closed set), with
             # params as an ARGUMENT — the jit cache persists across periodic
@@ -163,9 +166,28 @@ def run_evaluate(
             tokens, lengths = decoder(
                 state.params, dev_batch["mel_specs"],
                 dev_batch["spec_lengths"])
+            if drain:
+                tokens, lengths = jax.block_until_ready((tokens, lengths))
+        # hold only the label arrays, not the whole batch (mel buffers are
+        # MBs each; labels are KBs — keeps deferred-fetch memory flat)
+        pending.append((m, tokens, lengths,
+                        np.asarray(host_batch["labels"]),
+                        np.asarray(host_batch["label_lengths"]), num_real))
+        if max_batches and n >= max_batches:
+            break
+
+    for m, tokens, lengths, labels, lab_lens, num_real in pending:
+        # Global outputs vs host-local references: when shard_batch built a
+        # global batch, this host's rows sit at its read-group offset in the
+        # global row order (make_array_from_process_local_data stacks the
+        # data axis in mesh-row = read-group order).
+        row0 = shard_row_group * labels.shape[0] \
+            if shard_batch is not None else 0
+        if m is not None:
+            losses.extend(
+                np.asarray(m["nll"])[row0: row0 + num_real].tolist())
+        if tokens is not None:
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-            labels = np.asarray(host_batch["labels"])
-            lab_lens = np.asarray(host_batch["label_lengths"])
             for i in range(num_real):
                 ref_ids = labels[i, : lab_lens[i]].tolist()
                 hyp_ids = tokens[row0 + i, : lengths[row0 + i]].tolist()
@@ -174,8 +196,6 @@ def run_evaluate(
                 if tokenizer is not None:
                     refs_txt.append(tokenizer.decode(ref_ids))
                     hyps_txt.append(tokenizer.decode(hyp_ids))
-        if max_batches and n >= max_batches:
-            break
 
     # Local sufficient statistics: [loss_sum, loss_n, tok_rate_sum, n_utt,
     # wer_rate_sum, cer_rate_sum, n_txt].  Means are taken after the (optional)

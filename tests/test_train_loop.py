@@ -60,6 +60,36 @@ def test_run_training_checkpoints_and_logs(tmp_path):
     assert int(np.asarray(restored.step)) == 6
 
 
+def test_async_saver_snapshot_isolation(tmp_path):
+    """AsyncSaver must checkpoint the state AS OF save() time even when the
+    caller's buffers are donated/overwritten immediately after (the exact
+    hazard of overlapping saves with donated train steps)."""
+    out_dir = str(tmp_path / "run")
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    saver = ckpt_mod.AsyncSaver()
+    saver.save(out_dir, state, CFG)
+
+    # clobber the live tree right away (donation stand-in: same buffers
+    # would be re-used); the background writer must be reading a snapshot
+    donate = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x * 0 - 1, t),
+                     donate_argnums=0)
+    _ = jax.block_until_ready(donate(state.params))
+    path = saver.wait()
+    assert path and os.path.exists(os.path.join(path, "state.npz"))
+
+    restored = ckpt_mod.restore_checkpoint(out_dir, CFG)
+    ref = create_train_state(jax.random.PRNGKey(0), CFG)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=1e-6)
+
+    # a second save on the same saver works after the first landed
+    saver.save(out_dir, restored._replace(
+        step=jnp.asarray(7, jnp.int32)), CFG)
+    assert saver.wait().endswith("checkpoint_00000007")
+
+
 def test_sigterm_checkpoints_and_exits(tmp_path):
     """Preemption safety: SIGTERM mid-epoch → checkpoint at the next step
     boundary, clean return (the recovery story the reference lacked)."""
