@@ -30,6 +30,28 @@ from rnnt_tpu.train.steps import make_eval_step, make_train_step
 _DECODER_CACHE: Dict = {}
 
 
+def _fetch_rows(x, row0: int, n: int) -> np.ndarray:
+    """Rows [row0, row0+n) of a possibly cross-process-sharded array.
+
+    Mixed layouts (read_groups > 1 AND a model axis spanning processes,
+    e.g. a 2x2 mesh over 4 single-device hosts) leave jitted outputs
+    sharded over 'data': the global array is NOT fully addressable, and
+    np.asarray would raise.  Each read group's rows land in exactly one
+    local shard (the data axis is sharded by row block == read group), so
+    fetch from the addressable shard covering them."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)[row0: row0 + n]
+    for sh in x.addressable_shards:
+        idx = sh.index[0] if sh.index else slice(None)
+        start = idx.start or 0
+        stop = idx.stop if idx.stop is not None else x.shape[0]
+        if start <= row0 and row0 + n <= stop:
+            return np.asarray(sh.data)[row0 - start: row0 - start + n]
+    raise ValueError(
+        f"rows [{row0}, {row0 + n}) not addressable on this process "
+        f"(shards: {[s.index for s in x.addressable_shards]})")
+
+
 def _drain_between_programs() -> bool:
     """True when every collective-bearing program should be fully drained
     before dispatching the next one (multi-process CPU/Gloo only).
@@ -180,17 +202,18 @@ def run_evaluate(
         # Global outputs vs host-local references: when shard_batch built a
         # global batch, this host's rows sit at its read-group offset in the
         # global row order (make_array_from_process_local_data stacks the
-        # data axis in mesh-row = read-group order).
+        # data axis in mesh-row = read-group order); _fetch_rows reads them
+        # from the local shard when the global output isn't addressable.
         row0 = shard_row_group * labels.shape[0] \
             if shard_batch is not None else 0
         if m is not None:
-            losses.extend(
-                np.asarray(m["nll"])[row0: row0 + num_real].tolist())
+            losses.extend(_fetch_rows(m["nll"], row0, num_real).tolist())
         if tokens is not None:
-            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            tokens = _fetch_rows(tokens, row0, num_real)
+            lengths = _fetch_rows(lengths, row0, num_real)
             for i in range(num_real):
                 ref_ids = labels[i, : lab_lens[i]].tolist()
-                hyp_ids = tokens[row0 + i, : lengths[row0 + i]].tolist()
+                hyp_ids = tokens[i, : lengths[i]].tolist()
                 refs_tok.append(ref_ids)
                 hyps_tok.append(hyp_ids)
                 if tokenizer is not None:

@@ -221,6 +221,47 @@ def test_two_process_model_axis_spanning(data_dir_wp, tmp_path):
                                    atol=1e-5, err_msg=k)
 
 
+def test_four_process_mixed_layout_eval(data_dir_wp, tmp_path):
+    """MIXED layout: 4 processes x 1 device, mesh (data=2, model=2) — TWO
+    read groups AND a model axis spanning processes.  Eval metrics must
+    pair each group's hypotheses with its OWN references (the global
+    decoder outputs are data-sharded; rows are fetched from the local
+    shard at the group's row offset — ADVICE r3 medium + _fetch_rows).
+    Reference: the same eval on one process with 4 local devices."""
+    out_dir = str(tmp_path / "mx")
+    train = ["--mode", "train", "--data_dir", str(data_dir_wp),
+             "--output_dir", out_dir, "--batch_size", "4", "--n_epochs", "1",
+             "--steps_per_log", "1", "--steps_per_checkpoint", "50",
+             "--eval_size", "1", "--model_parallel", "2",
+             "--no-bf16"] + PAD + TINY
+    rc, out = _run_single(train, n_devices=4)
+    assert rc == 0, out
+
+    ev = ["--mode", "eval", "--data_dir", str(data_dir_wp),
+          "--output_dir", out_dir, "--checkpoint", out_dir,
+          "--batch_size", "2", "--model_parallel", "2", "--no-bf16"] + PAD
+    rc, out = _run_single(ev, n_devices=4)
+    assert rc == 0, out
+    m_single = _parse_metrics(out)
+
+    from tests.mh_harness import run_workers
+
+    port = _free_port()
+    cmds = [[sys.executable, "-m", "rnnt_tpu.cli.run_rnnt",
+             "--multihost", "--coordinator_address", f"localhost:{port}",
+             "--num_processes", "4", "--process_id", str(pid)] + ev
+            for pid in range(4)]
+    results = run_workers(cmds, env=_worker_env(1), cwd=REPO,
+                          timeout=900, stall_timeout=300)
+    for i, (rc, out_i) in enumerate(results):
+        assert rc == 0, f"rank {i}:\n{out_i}"
+    m_multi = _parse_metrics(results[0][1])
+    for k in ("eval_loss", "eval_accuracy", "eval_wer", "eval_cer"):
+        assert k in m_multi and k in m_single, (m_multi, m_single)
+        np.testing.assert_allclose(m_multi[k], m_single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_two_process_train_resume_eval(data_dir, tmp_path):
     out_dir = str(tmp_path / "run")
 
