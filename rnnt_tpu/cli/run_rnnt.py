@@ -43,6 +43,14 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bfloat16 params/activations (the fp16_run equivalent)")
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype for the mel_specs host->device transfer.  "
+                        "bfloat16 halves per-step input bytes with no "
+                        "numeric cost when training in bf16 (the model "
+                        "casts inputs to the compute dtype anyway); also "
+                        "halves the per-transfer host-memory growth of the "
+                        "remote-attached-chip client (PERFORMANCE.md)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="model-axis size of the device mesh")
     p.add_argument("--loss_impl", default="fused",
@@ -240,15 +248,25 @@ def main(argv=None):
         step=jax.device_put(np.asarray(state.step), replicated_sharding(mesh)))
     bsh = batch_sharding(mesh)
 
+    tdt = jnp.bfloat16 if args.transfer_dtype == "bfloat16" else None
+
+    def _host_cast(k, v):
+        # mel features are the only multi-MB input; ship them in bf16 when
+        # asked (model casts to compute dtype on device regardless)
+        if tdt is not None and k == "mel_specs":
+            return np.asarray(v).astype(tdt)
+        return np.asarray(v)
+
     def shard_batch(batch):
         if jax.process_count() > 1:
             # each host holds a disjoint LOCAL batch shard; assemble the
             # global batch-sharded array from per-process data
             return {
-                k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
+                k: jax.make_array_from_process_local_data(bsh, _host_cast(k, v))
                 for k, v in batch.items()
             }
-        return {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        return {k: jax.device_put(_host_cast(k, v), bsh)
+                for k, v in batch.items()}
 
     if (jax.process_count() > 1
             and not (args.pad_frames and args.pad_tokens)):

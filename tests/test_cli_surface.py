@@ -72,6 +72,9 @@ def run_dir(data_dir, tmp_path_factory):
                    "--output_dir", str(out), "--batch_size", "8",
                    "--n_epochs", "4", "--steps_per_log", "2",
                    "--steps_per_checkpoint", "4", "--eval_size", "1",
+                   # bf16 mel transfer: halves input bytes; must train the
+                   # same (model casts inputs to compute dtype regardless)
+                   "--transfer_dtype", "bfloat16",
                    "--no-bf16"] + TINY)
     assert any(p.startswith("checkpoint_") for p in os.listdir(out))
     return out
