@@ -119,6 +119,19 @@ def main(argv=None):
             lambda e, l: greedy_decode_encoded(
                 model, deq, e, l,
                 max_output_length=args.max_output_length))
+        # int8 beam tradeoff (VERDICT r3 weak #6): the qdot-aware XLA beam
+        # on int8 weights vs the Pallas beam on dequantized bf16 weights —
+        # serve.py routes int8 beam through the former
+        runs[f"beam-{args.beam} xla int8-exec"] = jax.jit(
+            lambda e, l: beam_search_encoded(
+                model, mixed, e, l, beam_width=args.beam,
+                max_output_length=args.max_output_length,
+                expansions_per_frame=1, prune_vocab=args.beam))
+        runs[f"beam-{args.beam} pallas dequant E=1"] = jax.jit(
+            lambda e, l: beam_search_encoded_pallas(
+                model, deq, e, l, beam_width=args.beam,
+                max_output_length=args.max_output_length,
+                expansions_per_frame=1))
 
     print(f"B={B} T'={T} vocab={cfg.vocab_size} dtype={dt.__name__} "
           f"({audio_s:.0f} audio-s/batch)")

@@ -414,6 +414,9 @@ def main(argv=None):
             # a lattice-materializing loss (~26 GB logits at B=32/T'=384/
             # U+1=129/V=4096).  Metrics are aggregated across processes inside
             # run_evaluate; every process participates, process 0 reports.
+            import time
+
+            t0 = time.time()
             metrics = run_evaluate(
                 cfg, state, eval_stream, tokenizer=tokenizer,
                 decode=args.decode,
@@ -427,8 +430,11 @@ def main(argv=None):
                 loss_metrics=not (args.quantized and args.int8_exec),
                 shard_batch=shard_batch if tp_spans_processes else None,
                 shard_row_group=read_group if tp_spans_processes else 0)
+            wall = time.time() - t0
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+                print(f"eval wall-clock: {wall:.1f}s "
+                      f"(incl. compile-cache load on first run)")
 
     if args.profile_dir:
         jax.profiler.stop_trace()
