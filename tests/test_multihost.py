@@ -51,7 +51,15 @@ def _worker_env(n_devices: int = 4) -> dict:
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    # Sequential scheduler for EVERY worker (the CLI only sets it under
+    # --multihost): the in-process CPU communicator has the same
+    # rendezvous-starvation class as Gloo — on a 2-core box a 4-virtual-
+    # device run can blow the 40 s rendezvous termination timeout (SIGABRT
+    # in xla::cpu::InProcessCommunicator) when the concurrent scheduler
+    # piles independent collectives onto the tiny thunk-executor pool.
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices} "
+        "--xla_cpu_enable_concurrency_optimized_scheduler=false")
     # full-fp32 matmuls: the CPU backend's default ~0.2% precision would
     # swamp the cross-layout parity tolerances (same reason as conftest.py)
     env["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
