@@ -51,10 +51,20 @@ def _chunk_program(cfg: RNNTConfig, max_tokens_per_chunk: int):
     if key not in _RUN_CACHE:
         model = Transducer(cfg)
 
-        def _run(params, mel, enc_state, carry):
+        def _run(params, mel, enc_state, carry, n_valid):
             encoded, new_enc_state = model.encode(
                 params, mel[None], state=enc_state)
-            enc_len = jnp.full((1,), encoded.shape[1], jnp.int32)
+            # n_valid bounds decode to encoder frames backed by REAL audio:
+            # flush() pads the stream tail with zeros to push the held-back
+            # remainders through the stacking/reduction boundaries, and
+            # decoding the pure-pad frames emits spurious tokens (digital
+            # silence is off-distribution after mean subtraction — measured
+            # one hallucinated trailing letter on 12/24 streamed utterances
+            # before this bound).  Offline decode has the same bound via
+            # spec_lengths; mid-stream chunks pass n_valid >= chunk length.
+            enc_len = jnp.minimum(
+                jnp.full((1,), encoded.shape[1], jnp.int32),
+                jnp.asarray(n_valid, jnp.int32).reshape(1))
             tokens, lengths, new_carry = greedy_decode_encoded(
                 model, params, encoded, enc_len,
                 max_output_length=max_tokens_per_chunk, carry=carry)
@@ -118,6 +128,9 @@ class StreamingTranscriber:
         self._text_ids: List[int] = []
         self._decoded_n = 0
         self._decoded_text = ""
+        # real-audio accounting for the flush-pad decode bound (_run n_valid)
+        self._real_samples = 0
+        self._enc_done = 0  # encoder frames already decoded
 
     @property
     def text(self) -> str:
@@ -140,15 +153,31 @@ class StreamingTranscriber:
         if not self._primed:  # short stream: force the buffered audio out
             self._primed = True
             pending, self._prime_buf = self._prime_buf, np.zeros((0,), np.float32)
-            self.process_chunk(pending)
+            self.process_chunk(pending, real=False)  # counted at buffering
         r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
         pad = (cfg.frame_length_samples
                + cfg.frame_step_samples * cfg.downsample_factor * (r + 1))
-        return self.process_chunk(np.zeros(pad, np.float32))
+        # real=False: the zero pad exists only to push the real tail through
+        # the stacking/reduction boundaries; frames made purely of it are
+        # excluded from decode by the n_valid bound (see _chunk_program)
+        return self.process_chunk(np.zeros(pad, np.float32), real=False)
 
-    def process_chunk(self, samples: np.ndarray) -> str:
-        """Feed raw audio samples; returns the transcript so far."""
+    def _valid_enc_frames(self) -> int:
+        """Upper bound on encoder-output frames backed by real audio."""
         cfg = self.cfg
+        frames = -(-self._real_samples // cfg.frame_step_samples)
+        stacked = -(-frames // cfg.downsample_factor)
+        r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
+        return -(-stacked // r)
+
+    def process_chunk(self, samples: np.ndarray, real: bool = True) -> str:
+        """Feed raw audio samples; returns the transcript so far.
+
+        real=False marks filler samples (flush padding / prime re-feeds)
+        that must not extend the decoded region of the stream."""
+        cfg = self.cfg
+        if real:
+            self._real_samples += len(samples)
         if not self._primed:
             self._prime_buf = np.concatenate(
                 [self._prime_buf, np.asarray(samples, np.float32)])
@@ -193,18 +222,22 @@ class StreamingTranscriber:
             return self.text
         mel = mel[:n_feed]
 
+        n_valid = max(0, self._valid_enc_frames() - self._enc_done)
+        self._enc_done += n_feed // r
         if self._device_lock is not None:
             # Serialize both dispatch AND execution (block inside the lock):
             # on one chip this bounds a concurrent session's added latency to
             # one chunk's compute instead of an unbounded dispatch-queue race.
             with self._device_lock:
                 out = self._run(self.params, jnp.asarray(mel),
-                                self._enc_state, self._carry)
+                                self._enc_state, self._carry,
+                                np.int32(n_valid))
                 out = jax.block_until_ready(out)
             tokens, length, self._enc_state, self._carry = out
         else:
             tokens, length, self._enc_state, self._carry = self._run(
-                self.params, jnp.asarray(mel), self._enc_state, self._carry)
+                self.params, jnp.asarray(mel), self._enc_state, self._carry,
+                np.int32(n_valid))
         self._text_ids.extend(np.asarray(tokens)[: int(length)].tolist())
         return self.text
 

@@ -204,9 +204,9 @@ def test_streaming_causal_mean_converges_to_offline_features():
     fed = []
     orig_run = st._run
 
-    def spy(params, mel, enc_state, carry):
+    def spy(params, mel, enc_state, carry, n_valid):
         fed.append(np.asarray(mel))
-        return orig_run(params, mel, enc_state, carry)
+        return orig_run(params, mel, enc_state, carry, n_valid)
 
     st._run = spy
     for off in range(0, len(audio), 1600):
@@ -239,9 +239,9 @@ def test_streaming_flush_drains_tail():
     fed = []
     orig = st._run
 
-    def spy(params, mel, enc_state, carry):
+    def spy(params, mel, enc_state, carry, n_valid):
         fed.append(np.asarray(mel))
-        return orig(params, mel, enc_state, carry)
+        return orig(params, mel, enc_state, carry, n_valid)
 
     st._run = spy
     for off in range(0, len(audio), 1600):
