@@ -162,9 +162,15 @@ class TranscriptionService:
             if beam > 0:
                 from rnnt_tpu.decode.beam import beam_search_decode
 
-                # int8 {"q","s"} leaves feed the XLA beam's qdot-routed
-                # pred/joint steps; the Pallas kernel path needs fp weights
-                impl = "xla" if self.int8_exec else "auto"
+                # XLA beam for serving: (a) int8 {"q","s"} leaves feed its
+                # qdot-routed pred/joint steps (the Pallas kernel needs fp
+                # weights), and (b) the Pallas beam kernel hits a Mosaic
+                # compile failure at the B=1 shapes serving uses (round-4
+                # finding; batch evals at B>=2 are unaffected).  Measured
+                # WER-identical to the Pallas beam (BASELINE.md round-4
+                # table), and single-utterance latency is round-trip-bound,
+                # not kernel-bound.
+                impl = "xla"
 
                 @jax.jit
                 def fn(params, mel, sl):

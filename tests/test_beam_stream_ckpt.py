@@ -254,6 +254,19 @@ def test_streaming_flush_drains_tail():
     assert n_before < offline  # tail really was held back
     assert n_after >= offline  # flush drained it (plus silence padding)
 
+    # the flush's zero padding must NOT extend the decoded region: the
+    # valid-frame bound covers the real audio and nothing of the pad
+    # (prevents the trailing-token hallucination measured on-chip —
+    # streamed WER 0.1088 -> 0.0269 after this bound)
+    r = cfg.time_reduction_factor if cfg.time_reduction_index >= 0 else 1
+    stacked_real = -(-(-(-len(audio) // cfg.frame_step_samples))
+                     // cfg.downsample_factor)
+    assert st._valid_enc_frames() == -(-stacked_real // r)
+    # pad frames beyond the bound were fed but excluded from decode
+    assert st._enc_done > st._valid_enc_frames()
+    # real-sample accounting ignores filler (prime re-feeds, flush pad)
+    assert st._real_samples == len(audio)
+
 
 def _tone_utterances():
     """Tiny compositional audio corpus: each word is a tone sequence."""
