@@ -27,6 +27,7 @@ for attempt in $(seq 1 "$TRIES"); do
     --mode train --data_dir "$DATA" --output_dir "$OUT" \
     --checkpoint auto "$@" >> "$LOG" 2>&1 &
   pid=$!
+  echo "$pid" > "$LOG.pid"   # exact-PID handle for external watchdogs
   # wait for the first step line (or process exit)
   ok=0
   for i in $(seq 1 $((WAIT_S / 10))); do

@@ -28,6 +28,13 @@ def parse_args(argv=None):
                         "(run_rnnt.py:41-43); 'auto' resumes from the latest "
                         "checkpoint in --output_dir if one exists (restart-"
                         "after-preemption without changing the command line)")
+    p.add_argument("--init_from", default=None, metavar="CKPT_DIR",
+                   help="warm-start: model weights from this checkpoint, "
+                        "FRESH optimizer/step under the current schedule "
+                        "(curriculum over corpus size). Ignored when a "
+                        "resume checkpoint applies — so '--checkpoint auto "
+                        "--init_from small_run/' warm-starts on first "
+                        "launch and resumes in place after a preemption")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--n_epochs", type=int, default=1000)
     p.add_argument("--steps_per_log", type=int, default=10)
@@ -206,9 +213,13 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    # state: fresh or restored (run_rnnt.py:477-478)
+    # state: fresh, restored, or warm-started (run_rnnt.py:477-478)
     if args.checkpoint:
         state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg, dtype)
+    elif args.init_from:
+        print(f"warm-start: weights from {args.init_from}, fresh "
+              "optimizer/step (curriculum init)")
+        state = ckpt_mod.init_from_checkpoint(args.init_from, cfg, dtype)
     else:
         state = create_train_state(jax.random.PRNGKey(0), cfg, dtype)
 

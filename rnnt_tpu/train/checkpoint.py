@@ -248,3 +248,39 @@ def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig,
 def load_config(ckpt_dir: str) -> RNNTConfig:
     """Config travels with the checkpoint (run_rnnt.py:137-140)."""
     return RNNTConfig.load(ckpt_dir)
+
+
+def init_from_checkpoint(path_or_dir: str, cfg: RNNTConfig, dtype=None,
+                         key=None) -> TrainState:
+    """Warm-start: model weights from an existing checkpoint, FRESH
+    step/optimizer state under `cfg`'s schedule.
+
+    The curriculum-over-corpus-size mechanism: a model converged on a small
+    corpus seeds training on a larger one with its own (typically longer)
+    lr horizon, without inheriting the old run's step counter or Adam
+    moments.  The reference's weights-only HDF5 resume (run_rnnt.py:477-478)
+    did this by accident for every resume; here it is an explicit opt-in
+    (`--init_from`) distinct from full resume (`--checkpoint`).
+
+    The checkpoint is read under its OWN sidecar config when present (the
+    template layout must match what was saved — e.g. a different
+    lr_schedule changes the opt_state tree); only the params are kept.
+    Model geometry must match `cfg` (asserted leaf-by-leaf).
+    """
+    src_cfg = cfg
+    for d in (path_or_dir, os.path.dirname(os.path.normpath(path_or_dir))):
+        if d and os.path.exists(os.path.join(d, "config.json")):
+            src_cfg = RNNTConfig.load(d)
+            break
+    old = restore_checkpoint(path_or_dir, src_cfg, dtype)
+    fresh = create_train_state(
+        key if key is not None else jax.random.PRNGKey(0), cfg, dtype)
+
+    def _check(path, a, b):
+        assert a.shape == b.shape, (
+            f"init_from geometry mismatch at {jax.tree_util.keystr(path)}: "
+            f"checkpoint {a.shape} vs model {b.shape}")
+        return a
+
+    params = jax.tree_util.tree_map_with_path(_check, old.params, fresh.params)
+    return fresh._replace(params=params)

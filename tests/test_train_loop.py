@@ -128,6 +128,38 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert int(np.asarray(restored.step)) == stopped_at
 
 
+def test_init_from_checkpoint_warm_start(tmp_path):
+    """--init_from: weights come from the checkpoint, step and optimizer
+    state are FRESH under the (possibly different) new schedule — the
+    curriculum-over-corpus-size mechanism."""
+    out = str(tmp_path / "small_run")
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    trained = state._replace(step=jnp.asarray(1234, jnp.int32))
+    ckpt_mod.save_checkpoint(out, trained, CFG)
+
+    # new run: longer cosine horizon — different opt_state layout vs CFG's
+    # constant-lr chain, which full restore could NOT absorb
+    big_cfg = CFG.replace(lr_schedule="cosine", decay_steps=100,
+                          warmup_steps=10)
+    warm = ckpt_mod.init_from_checkpoint(out, big_cfg)
+    assert int(np.asarray(warm.step)) == 0  # fresh step
+    for a, b in zip(jax.tree_util.tree_leaves(warm.params),
+                    jax.tree_util.tree_leaves(trained.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=1e-6)
+    # opt_state matches a FRESH state under the new schedule, tree-wise
+    fresh = create_train_state(jax.random.PRNGKey(1), big_cfg)
+    assert (jax.tree_util.tree_structure(warm.opt_state)
+            == jax.tree_util.tree_structure(fresh.opt_state))
+
+    # geometry mismatch is a hard error, not silent garbage
+    import pytest
+
+    with pytest.raises(AssertionError, match="geometry mismatch"):
+        ckpt_mod.init_from_checkpoint(
+            out, CFG.replace(joint_size=CFG.joint_size * 2))
+
+
 def test_corrupt_checkpoint_not_listed(tmp_path):
     """A truncated state.npz (crash mid-write before the atomic rename) is
     never visible; only fully-published checkpoints are discoverable."""
