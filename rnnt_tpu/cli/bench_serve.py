@@ -72,6 +72,14 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    # Tunnel RTT, measured FIRST and printed with every run so cross-round
+    # serving comparisons can separate transport from stack (benchutil).
+    from rnnt_tpu.cli.benchutil import measure_rtt_ms
+
+    rtt_ms = measure_rtt_ms()
+    print(f"rtt_ms: {rtt_ms:.1f} (p50 of 20 scalar device round-trips; "
+          f"subtract from every latency below for on-chip stack time)")
+
     sr = 16000
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(args.seconds * sr)) * 0.1).astype(

@@ -42,6 +42,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from rnnt_tpu.cli import benchutil
     from rnnt_tpu.config import RNNTConfig, tiny_config
     from rnnt_tpu.data.tokenizer import CharTokenizer
     from rnnt_tpu.decode.streaming import StreamingTranscriber
@@ -75,6 +76,7 @@ def main(argv=None):
             "n_utts": len(details),
             "chunk_samples": args.chunk_samples,
             "backend": jax.default_backend(),
+            "rtt_ms": round(benchutil.measure_rtt_ms(), 1),
         }))
         return
 
@@ -112,6 +114,8 @@ def main(argv=None):
         "chunk_ms": chunk_ms,
         "real_time_factor": round(float(np.percentile(lat_ms, 50)) / chunk_ms, 3),
         "backend": jax.default_backend(),
+        # transport share of the per-chunk latency (benchutil docstring)
+        "rtt_ms": round(benchutil.measure_rtt_ms(), 1),
     }))
 
 

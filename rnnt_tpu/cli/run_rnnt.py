@@ -395,6 +395,14 @@ def main(argv=None):
     # programs contain cross-host collectives, so eval batches must be
     # assembled into global arrays too (host-local numpy can't feed them).
     tp_spans_processes = multihost and read_groups < jax.process_count()
+    # Down-weight duplicated eval stats when several processes share a read
+    # group (they compute identical stats over the same rows); 1.0 in pure
+    # DP where group == process (parallel/mesh.read_group_process_count).
+    eval_weight = 1.0
+    if tp_spans_processes:
+        from rnnt_tpu.parallel.mesh import read_group_process_count
+
+        eval_weight = 1.0 / read_group_process_count(mesh)
     with jax.sharding.set_mesh(mesh):
         if args.mode == "train":
             run_training(
@@ -413,6 +421,7 @@ def main(argv=None):
                 eval_multihost=multihost,
                 eval_shard_batch=shard_batch if tp_spans_processes else None,
                 eval_shard_row_group=read_group if tp_spans_processes else 0,
+                eval_stats_weight=eval_weight,
             )
         else:
             if not args.checkpoint:
@@ -440,7 +449,8 @@ def main(argv=None):
                 # kernels; WER/CER are the int8 measurement anyway
                 loss_metrics=not (args.quantized and args.int8_exec),
                 shard_batch=shard_batch if tp_spans_processes else None,
-                shard_row_group=read_group if tp_spans_processes else 0)
+                shard_row_group=read_group if tp_spans_processes else 0,
+                stats_weight=eval_weight)
             wall = time.time() - t0
             if jax.process_index() == 0:
                 print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))

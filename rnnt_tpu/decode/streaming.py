@@ -131,6 +131,7 @@ class StreamingTranscriber:
         # real-audio accounting for the flush-pad decode bound (_run n_valid)
         self._real_samples = 0
         self._enc_done = 0  # encoder frames already decoded
+        self._flushed = False
 
     @property
     def text(self) -> str:
@@ -160,7 +161,13 @@ class StreamingTranscriber:
         # real=False: the zero pad exists only to push the real tail through
         # the stacking/reduction boundaries; frames made purely of it are
         # excluded from decode by the n_valid bound (see _chunk_program)
-        return self.process_chunk(np.zeros(pad, np.float32), real=False)
+        out = self.process_chunk(np.zeros(pad, np.float32), real=False)
+        # Terminal: the pad frames advanced _enc_done past the real-audio
+        # bound AND pushed zeros through the LSTM state, so appending more
+        # real audio would both lag n_valid and decode against polluted
+        # state (ADVICE r4).  A new utterance starts with reset().
+        self._flushed = True
+        return out
 
     def _valid_enc_frames(self) -> int:
         """Upper bound on encoder-output frames backed by real audio."""
@@ -176,6 +183,11 @@ class StreamingTranscriber:
         real=False marks filler samples (flush padding / prime re-feeds)
         that must not extend the decoded region of the stream."""
         cfg = self.cfg
+        if self._flushed and real:
+            raise RuntimeError(
+                "process_chunk after flush(): flush is terminal (its zero "
+                "pad is already in the encoder state) — call reset() before "
+                "streaming a new utterance")
         if real:
             self._real_samples += len(samples)
         if not self._primed:

@@ -385,6 +385,13 @@ def beam_search_encoded_pallas(
     bt_cap = 64 if expansions_per_frame <= 2 else (
         32 if expansions_per_frame <= 4 else 16)
     Bt = B if B <= bt_cap else bt_cap
+    # Mosaic requires the flat hypothesis dim N = Bt*K to cover a full f32
+    # sublane tile (8): B=1/K=4 gave N=4, which failed Mosaic lowering at
+    # exactly the shape serving uses (round-4 finding; B>=2 — N>=8 — always
+    # compiled).  Pad the batch up; padded utterances carry enc_length 0, so
+    # their beams are inert (`alive` is false every frame) and the pad is
+    # sliced off before returning.
+    Bt = max(Bt, -(-8 // K))
     pad_b = (-B) % Bt
     if pad_b:
         encoded = jnp.pad(encoded, ((0, pad_b), (0, 0), (0, 0)))

@@ -83,11 +83,47 @@ def data_read_group(mesh: Mesh):
                     f"partially overlap across processes — choose "
                     f"model_parallel so each data row lives in one process, "
                     f"or so whole rows are shared")
+    # Each group must own a CONTIGUOUS, EQUAL-SIZE row block: eval pairs a
+    # group's hypotheses with its references at global-row offset
+    # group_index * local_batch_rows (train/loop.py), which is only the
+    # group's first row under this layout.  A disjoint-but-interleaved
+    # layout (rows {0,2}/{1,3}) would pass the overlap check yet silently
+    # mispair hypotheses with references (ADVICE r4).
+    for key in ordered:
+        ks = list(key)
+        if ks != list(range(ks[0], ks[0] + len(ks))):
+            raise ValueError(
+                f"unsupported mesh/process layout: read group rows {key} are "
+                f"not a contiguous block — reorder the mesh devices so each "
+                f"process group covers consecutive data rows")
+    if len({len(k) for k in ordered}) > 1:
+        raise ValueError(
+            f"unsupported mesh/process layout: read groups own unequal row "
+            f"counts {[len(k) for k in ordered]} — eval row pairing assumes "
+            f"equal per-group batch shares")
     me = jax.process_index()
     for gi, key in enumerate(ordered):
         if me in groups[key]:
             return gi, len(ordered)
     return 0, 1  # this process hosts no mesh devices
+
+
+def read_group_process_count(mesh: Mesh) -> int:
+    """Number of processes sharing THIS process's read group (1 in pure DP;
+    >1 when a model axis spans processes).  Eval statistics computed
+    identically by every group member must be down-weighted by this factor
+    before a cross-process sum, or groups with more processes bias the
+    means (ADVICE r4)."""
+    rows = {}
+    dev = mesh.devices
+    for r in range(dev.shape[0]):
+        for d in dev[r].ravel():
+            rows.setdefault(d.process_index, set()).add(r)
+    me = jax.process_index()
+    mine = rows.get(me)
+    if mine is None:
+        return 1
+    return sum(1 for rs in rows.values() if rs == mine)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

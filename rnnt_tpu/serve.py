@@ -133,7 +133,12 @@ class TranscriptionService:
         t0 = time.perf_counter()
         feat = self.cfg.input_feat_size
         if t_pads is None:
-            t_pads = [t for t in (64, 128, 256, 512) if t <= self.max_t_pad]
+            # every power-of-two bucket transcribe() can route to, so no
+            # accepted request ever hits a cold compile under the device
+            # lock (a fixed list capped at 512 left buckets between 512 and
+            # a larger --max_frames accepted-but-unwarmed)
+            t_pads = [1 << p for p in range(6, self.max_t_pad.bit_length())
+                      if (1 << p) <= self.max_t_pad]
         for beam in beams:
             for t_pad in t_pads:
                 mel = jnp.zeros((1, t_pad, feat), jnp.float32)

@@ -132,27 +132,70 @@ class AsyncSaver:
     atomic-publish npz write as save_checkpoint — training dispatch resumes
     within ~one step time.  One save in flight at a time (a second save
     first joins the previous); wait() joins and re-raises any writer error.
-    Multi-process / orbax saves stay synchronous (collective).
+
+    Orbax (multi-process/sharded) saves are async too: orbax's
+    StandardCheckpointer IS an AsyncCheckpointer — save() returns once the
+    device->host copy lands and the serialize/write/commit runs on orbax's
+    background thread, with the cross-process commit barrier deferred to
+    the NEXT save's wait_until_finished (or our wait()).  Training on a pod
+    slice therefore stalls for the copy only, not the filesystem write —
+    the round-3 failure mode (minutes-long synchronous save at 124M params)
+    cannot recur on either backend.  Pruning runs at the START of a save,
+    over committed checkpoints only (orbax publishes atomically by rename,
+    so an in-flight tmp dir is never listed, mirroring the npz
+    `.state.npz.tmp` contract).
     """
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
         self._exc: Optional[BaseException] = None
         self._last_path: Optional[str] = None
+        self._ocp = None  # lazy persistent orbax AsyncCheckpointer
 
     def wait(self) -> Optional[str]:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._ocp is not None:
+            self._ocp.wait_until_finished()
+            self._ocp.check_for_errors()
         if self._exc is not None:
             exc, self._exc = self._exc, None
             raise exc
         return self._last_path
 
+    def _save_orbax(self, ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
+                    *, keep: int) -> str:
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        if self._ocp is None:
+            self._ocp = ocp.StandardCheckpointer()
+        # join the previous async commit (surfaces its errors) before
+        # touching the directory it may still be publishing into
+        self._ocp.wait_until_finished()
+        self._ocp.check_for_errors()
+        step = int(np.asarray(state.step))
+        path = os.path.abspath(
+            os.path.join(ckpt_dir, f"checkpoint_{step:08d}")) + ".orbax"
+        if jax.process_index() == 0:
+            cfg.save(ckpt_dir)
+            cut = keep - 1  # old ones to keep; the new save makes `keep`
+            old = _orbax_steps(ckpt_dir)
+            for s in (old[:-cut] if cut > 0 else old):
+                shutil.rmtree(os.path.join(
+                    ckpt_dir, f"checkpoint_{s:08d}.orbax"), ignore_errors=True)
+        self._ocp.save(path, state)
+        self._last_path = path
+        return path
+
     def save(self, ckpt_dir: str, state: TrainState, cfg: RNNTConfig,
              *, keep: int = 5, backend: str = "npz") -> str:
-        if backend != "npz" or jax.process_count() > 1:
-            # orbax/multi-process saves are collective — keep synchronous
+        if backend == "orbax":
+            return self._save_orbax(ckpt_dir, state, cfg, keep=keep)
+        if jax.process_count() > 1:
+            # raises the informative npz-cannot-shard error
             return save_checkpoint(ckpt_dir, state, cfg, keep=keep,
                                    backend=backend)
         self.wait()  # one outstanding save; surfaces a prior writer error

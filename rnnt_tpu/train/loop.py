@@ -119,6 +119,7 @@ def run_evaluate(
     loss_metrics: bool = True,
     shard_batch: Optional[Callable[[Dict], Dict]] = None,
     shard_row_group: int = 0,
+    stats_weight: float = 1.0,
 ) -> Dict[str, float]:
     """Evaluate loss (+ decode accuracy/CER/WER) over a dataset.
 
@@ -237,11 +238,17 @@ def run_evaluate(
                            for r, h in zip(refs_txt, hyps_txt))
             stats[6] = len(refs_txt)
     if jax.process_count() > 1:
-        # one tiny collective; every process must reach this point exactly once
+        # one tiny collective; every process must reach this point exactly
+        # once.  stats_weight down-weights groups where several processes
+        # computed IDENTICAL stats over the same rows (model axis spanning
+        # processes): pass 1/group_process_count
+        # (parallel/mesh.read_group_process_count) so unequal-size groups
+        # don't bias the means (ADVICE r4).
         from jax.experimental import multihost_utils
 
         stats = np.asarray(
-            multihost_utils.process_allgather(stats)).sum(axis=0)
+            multihost_utils.process_allgather(stats * stats_weight)
+        ).sum(axis=0)
 
     out = {"eval_loss": float(stats[0] / stats[1]) if stats[1] else float("nan")}
     if decode_metrics and stats[3]:
@@ -271,6 +278,7 @@ def run_training(
     eval_multihost: bool = False,
     eval_shard_batch: Optional[Callable[[Dict], Dict]] = None,
     eval_shard_row_group: int = 0,
+    eval_stats_weight: float = 1.0,
 ) -> TrainState:
     """The outer loop (run_rnnt.py:233-377): epochs re-iterate the dataset
     (ref quirk 7 made explicit), checkpoint+eval every steps_per_checkpoint."""
@@ -291,10 +299,10 @@ def run_training(
     backend = (("orbax" if jax.process_count() > 1 else "npz")
                if ckpt_backend == "auto" else ckpt_backend)
 
-    # Async npz saves: device-side snapshot + background fetch/write, so a
-    # periodic save costs ~one step of dispatch instead of minutes of
-    # synchronous device->host fetch (ckpt_mod.AsyncSaver docstring).  The
-    # saver degrades to synchronous for orbax/multi-process backends.
+    # Async saves on both backends (ckpt_mod.AsyncSaver docstring): npz =
+    # device-side snapshot + background fetch/write; orbax = blocking
+    # device->host copy, background serialize/write with the collective
+    # commit barrier deferred to the next save/wait.
     saver = ckpt_mod.AsyncSaver()
 
     last_saved_step = [-1]
@@ -327,7 +335,8 @@ def run_training(
                 cfg, state, eval_batches_fn(), tokenizer=tokenizer,
                 eval_step=eval_step, max_batches=eval_max_batches,
                 shard_batch=eval_shard_batch,
-                shard_row_group=eval_shard_row_group)
+                shard_row_group=eval_shard_row_group,
+                stats_weight=eval_stats_weight)
             metrics["eval_seconds"] = time.time() - t0
             if jax.process_index() == 0:
                 writer.scalars(int(np.asarray(state.step)), metrics)

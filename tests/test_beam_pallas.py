@@ -56,6 +56,28 @@ def test_overfit_parity_emitting(beam_width, expansions, merge):
     assert int(jnp.sum(lens)) > 0  # the overfit model really emits
 
 
+def test_single_utterance_b1():
+    """B=1 at K=4 (the serving shape): the flat hypothesis dim N=Bt*K must
+    be padded up to a full sublane tile (round-4 Mosaic compile failure at
+    N=4), and the pad utterance must not perturb the real one's beam."""
+    state, batch, labels, loss = _overfit_state()
+    model = Transducer(CFG)
+    enc, _ = model.encode(state.params, batch["mel_specs"])
+    enc_lens = model.encoded_length(batch["spec_lengths"])
+    # full-batch result as the oracle for the sliced single utterance
+    tok_f, len_f, sc_f = beam_search_encoded_pallas(
+        model, state.params, enc, enc_lens, beam_width=4, max_output_length=8)
+    tok_1, len_1, sc_1 = beam_search_encoded_pallas(
+        model, state.params, enc[:1], enc_lens[:1], beam_width=4,
+        max_output_length=8)
+    assert tok_1.shape[0] == 1 and len_1.shape[0] == 1 and sc_1.shape[0] == 1
+    assert int(len_1[0]) == int(len_f[0])
+    np.testing.assert_array_equal(np.asarray(tok_1[0, :int(len_1[0])]),
+                                  np.asarray(tok_f[0, :int(len_f[0])]))
+    np.testing.assert_allclose(np.asarray(sc_1[0]), np.asarray(sc_f[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_random_model_ragged_lengths():
     cfg = tiny_config(vocab_size=24, encoder_layers=2, encoder_size=16,
                       projection_size=8, pred_net_layers=2, pred_net_size=16,

@@ -267,6 +267,14 @@ def test_streaming_flush_drains_tail():
     # real-sample accounting ignores filler (prime re-feeds, flush pad)
     assert st._real_samples == len(audio)
 
+    # flush is TERMINAL: more real audio would lag n_valid forever (the pad
+    # frames above advanced _enc_done past the real bound) and decode
+    # against zero-polluted LSTM state — reject it loudly (ADVICE r4)
+    with pytest.raises(RuntimeError, match="flush"):
+        st.process_chunk(audio[:1600])
+    st.reset()  # a new utterance starts clean
+    assert st.process_chunk(audio[:1600]) == ""
+
 
 def _tone_utterances():
     """Tiny compositional audio corpus: each word is a tone sequence."""

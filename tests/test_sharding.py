@@ -119,6 +119,48 @@ def test_sharded_decode_matches_single_device(data, model):
                                rtol=1e-5, atol=1e-5)
 
 
+class _FakeDev:
+    def __init__(self, p):
+        self.process_index = p
+
+
+def _fake_mesh(row_procs):
+    """Mesh stand-in: row_procs[r] = list of process ids owning row r's
+    devices (data_read_group only reads .devices[...].process_index)."""
+    class _M:
+        devices = np.array(
+            [[_FakeDev(p) for p in row] for row in row_procs], dtype=object)
+    return _M()
+
+
+def test_data_read_group_rejects_interleaved_rows():
+    """Disjoint-but-interleaved row ownership ({0,2}/{1,3}) passes the
+    overlap check but breaks eval's contiguous-block row pairing — must be
+    a loud error, not silent hypothesis/reference mispairing (ADVICE r4)."""
+    from rnnt_tpu.parallel.mesh import data_read_group
+
+    with pytest.raises(ValueError, match="contiguous"):
+        data_read_group(_fake_mesh([[0], [1], [0], [1]]))
+    with pytest.raises(ValueError, match="unequal"):
+        data_read_group(_fake_mesh([[0], [1], [1]]))
+    # contiguous equal blocks: fine (2 groups; this process is group 0)
+    assert data_read_group(_fake_mesh([[0], [0], [1], [1]])) == (0, 2)
+
+
+def test_read_group_process_count():
+    """Processes sharing a read group (model axis spanning hosts) must be
+    down-weighted in eval stats; pure DP counts 1 (ADVICE r4)."""
+    from rnnt_tpu.parallel.mesh import read_group_process_count
+
+    # rows 0-1 owned by procs {0,1} jointly (TP spans them): count 2
+    assert read_group_process_count(
+        _fake_mesh([[0, 1], [0, 1], [2, 3], [2, 3]])) == 2
+    # pure DP: each process its own rows
+    assert read_group_process_count(_fake_mesh([[0], [1], [2], [3]])) == 1
+    real = make_mesh(data=-1, model=1)
+    assert read_group_process_count(real) == 1  # single-process CPU mesh
+
+
 def test_param_sharding_rules_cover_model_axis():
     mesh = make_mesh(data=4, model=2)
     state = create_train_state(jax.random.PRNGKey(0), CFG)

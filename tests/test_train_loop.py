@@ -128,6 +128,41 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     assert int(np.asarray(restored.step)) == stopped_at
 
 
+def test_async_saver_orbax_backend(tmp_path):
+    """Orbax saves through AsyncSaver: save() returns with the write in
+    flight (d2h copy done — donation-safe), wait() lands the commit, the
+    next save prunes beyond keep, restore round-trips.  This is the
+    single-process contract for the collective pod-slice path (the
+    2-process integration lives in test_multihost.py)."""
+    out = str(tmp_path / "run")
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    saver = ckpt_mod.AsyncSaver()
+    p0 = saver.save(out, state, CFG, backend="orbax", keep=2)
+    # orbax copies to host BEFORE returning: clobbering the live buffers
+    # now must not corrupt the in-flight write (donation stand-in)
+    donate = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x * 0 - 1, t),
+                     donate_argnums=0)
+    _ = jax.block_until_ready(donate(state.params))
+    assert saver.wait() == p0
+    assert os.path.isdir(p0)
+
+    restored = ckpt_mod.restore_checkpoint(out, CFG)
+    ref = create_train_state(jax.random.PRNGKey(0), CFG)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=1e-6)
+
+    # two more saves on the same saver: keep=2 prunes step 0
+    for s in (5, 9):
+        saver.save(out, restored._replace(
+            step=jnp.asarray(s, jnp.int32)), CFG, backend="orbax", keep=2)
+    saver.wait()
+    assert ckpt_mod._orbax_steps(out) == [5, 9]
+    assert int(np.asarray(
+        ckpt_mod.restore_checkpoint(out, CFG).step)) == 9
+
+
 def test_init_from_checkpoint_warm_start(tmp_path):
     """--init_from: weights come from the checkpoint, step and optimizer
     state are FRESH under the (possibly different) new schedule — the
