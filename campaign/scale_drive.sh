@@ -28,8 +28,11 @@ ARGS=(--init_from "$INIT_FROM"
       specaug_time_width=20)
 
 last_step() {
-  ls "$OUT" 2>/dev/null | grep -oE "checkpoint_[0-9]+" \
-    | grep -oE "[0-9]+" | sort -n | tail -1
+  # only PUBLISHED checkpoints count: a wedged async save can leave an
+  # empty checkpoint_NNNN dir (the atomic publish never ran), which must
+  # not satisfy TARGET_STEP or claim a resume point
+  ls "$OUT"/checkpoint_*/state.npz 2>/dev/null \
+    | grep -oE "checkpoint_[0-9]+" | grep -oE "[0-9]+" | sort -n | tail -1
 }
 
 trainer_pid() {
@@ -41,7 +44,10 @@ trainer_pid() {
   echo "$pid"
 }
 
+STALL_S=${STALL_S:-600}
+
 watchdog() {
+  local last_seen_step=-1 last_change=$(date +%s)
   while true; do
     sleep 60
     pid=$(trainer_pid) || continue
@@ -55,6 +61,26 @@ watchdog() {
         kill -0 "$pid" 2>/dev/null || break
         sleep 5
       done
+      continue
+    fi
+    # Mid-run wedge detection: the tunnel client can block forever inside a
+    # device transfer AFTER steps started flowing (the launcher only guards
+    # the pre-step window).  A wedged trainer can't honor SIGTERM (the
+    # preemption checkpoint needs a live device), so escalate to SIGKILL
+    # and let the relaunch resume from the last published checkpoint.
+    step=$(grep -aoE "step [0-9]+" "$LOG" 2>/dev/null | tail -1 \
+           | grep -oE "[0-9]+")
+    step=${step:--1}
+    now=$(date +%s)
+    if [ "$step" != "$last_seen_step" ]; then
+      last_seen_step=$step; last_change=$now
+    elif [ "$step" -ge 0 ] && [ $((now - last_change)) -gt "$STALL_S" ]; then
+      echo "[drive] $(date +%H:%M:%S) no step progress past $step for" \
+           "$((now - last_change))s: SIGTERM then SIGKILL $pid (wedge)" \
+           >> "$DRIVELOG"
+      kill -TERM "$pid"; sleep 30
+      kill -0 "$pid" 2>/dev/null && kill -KILL "$pid"
+      last_change=$now
     fi
   done
 }

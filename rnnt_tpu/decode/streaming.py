@@ -270,17 +270,22 @@ def streamed_vs_offline(cfg: RNNTConfig, params, tokenizer, utterances,
     from rnnt_tpu.metrics import wer as wer_fn
 
     model = Transducer(cfg)
-    st = StreamingTranscriber(cfg, params, tokenizer)
 
     @jax.jit
     def offline(params, mel, sl):
         return greedy_decode(model, params, mel, sl,
                              max_output_length=max_output_length)
 
+    # Two phases, offline decode first, so the offline bucket programs and
+    # the streaming per-chunk program are never resident together: at parity
+    # scale the combined footprint RESOURCE_EXHAUSTED'd the chip mid-run
+    # (round-4 hedge_evals.log tail).  Audio is kept on host between phases.
     refs, off_texts, str_texts = [], [], []
+    audios = []
     for audio, sr, ref in utterances:
         assert sr == cfg.sample_rate
         audio = np.asarray(audio, np.float32)
+        audios.append(audio)
         mel = np.asarray(F.preprocess_audio(jnp.asarray(audio), cfg))
         t = mel.shape[0]
         pad_t = -(-t // 128) * 128  # closed shape set: one compile per bucket
@@ -290,12 +295,19 @@ def streamed_vs_offline(cfg: RNNTConfig, params, tokenizer, utterances,
                                   jnp.asarray([t], jnp.int32))
         off_texts.append(tokenizer.decode(
             np.asarray(tokens[0])[: int(lengths[0])].tolist()))
+        refs.append(normalize_text(ref))
 
+    # release the offline executables + their device workspaces before the
+    # streaming programs compile (the per-chunk program is re-jitted below)
+    del offline
+    jax.clear_caches()
+
+    st = StreamingTranscriber(cfg, params, tokenizer)
+    for audio in audios:
         st.reset()
         for o in range(0, len(audio), chunk_samples):
             st.process_chunk(audio[o: o + chunk_samples])
         str_texts.append(st.flush())
-        refs.append(normalize_text(ref))
 
     return (wer_fn(refs, off_texts), wer_fn(refs, str_texts),
             list(zip(refs, off_texts, str_texts)))
