@@ -18,7 +18,7 @@ LOG=${LOG:-/root/scale/train.log}
 DRIVELOG=${DRIVELOG:-/root/scale/drive.log}
 INIT_FROM=${INIT_FROM:-/root/hedge/run}
 ARGS=(--init_from "$INIT_FROM"
-      --batch_size 32 --n_epochs 5 --steps_per_log 50
+      --batch_size 32 --steps_per_log 50
       --steps_per_checkpoint 2000 --eval_size 8
       --pad_frames 192 --pad_tokens 64 --shuffle_buffer 8192
       --config_override optimizer=adam learning_rate=0.0002 warmup_steps=500
@@ -47,10 +47,15 @@ trainer_pid() {
 STALL_S=${STALL_S:-600}
 
 watchdog() {
-  local last_seen_step=-1 last_change=$(date +%s)
+  local last_seen_step=-1 last_change=$(date +%s) last_pid=-1
   while true; do
     sleep 60
     pid=$(trainer_pid) || continue
+    if [ "$pid" != "$last_pid" ]; then
+      # fresh trainer: restart the stall clock (restore + compile windows
+      # after a relaunch legitimately produce no step lines for minutes)
+      last_pid=$pid; last_seen_step=-1; last_change=$(date +%s)
+    fi
     anon=$(awk '/RssAnon/{print $2}' /proc/$pid/status 2>/dev/null)
     [ -z "$anon" ] && continue
     if [ "$anon" -gt $((MEM_GB * 1024 * 1024)) ]; then
@@ -61,6 +66,9 @@ watchdog() {
         kill -0 "$pid" 2>/dev/null || break
         sleep 5
       done
+      # the recycle's checkpoint drain produced no step lines — don't let
+      # the stall branch count that window against the next trainer
+      last_change=$(date +%s)
       continue
     fi
     # Mid-run wedge detection: the tunnel client can block forever inside a
@@ -68,6 +76,9 @@ watchdog() {
     # the pre-step window).  A wedged trainer can't honor SIGTERM (the
     # preemption checkpoint needs a live device), so escalate to SIGKILL
     # and let the relaunch resume from the last published checkpoint.
+    # STALL_S must exceed the longest legitimate no-step-line window while
+    # steps are flowing (periodic eval: seconds warm; async save dispatch:
+    # ~one step) — 600 s is 3-30x margin over both.
     step=$(grep -aoE "step [0-9]+" "$LOG" 2>/dev/null | tail -1 \
            | grep -oE "[0-9]+")
     step=${step:--1}
@@ -100,9 +111,15 @@ while true; do
   while pid=$(trainer_pid); do sleep 10; done
   step=$(last_step); step=$((10#${step:-0}))
   if [ "$step" -ge "$TARGET_STEP" ]; then break; fi
-  echo "[drive] $(date +%H:%M:%S) (re)launching from step $step" >> "$DRIVELOG"
+  # epoch budget sized to the REMAINING steps (4000 steps/epoch at B=32 on
+  # the 128k-utt corpus): a resumed trainer otherwise re-runs a full fresh
+  # --n_epochs budget and overshoots TARGET_STEP by up to 2x
+  epochs=$(( (TARGET_STEP - step + 3999) / 4000 ))
+  [ "$epochs" -lt 1 ] && epochs=1
+  echo "[drive] $(date +%H:%M:%S) (re)launching from step $step" \
+       "(n_epochs $epochs)" >> "$DRIVELOG"
   DATA=/root/endurance/data WAIT_S=420 TRIES=10 \
     bash campaign/launch.sh "$LOG" "$OUT" \
-    "${ARGS[@]}" >> /root/scale/launcher.out 2>&1
+    --n_epochs "$epochs" "${ARGS[@]}" >> /root/scale/launcher.out 2>&1
   sleep 5
 done

@@ -264,6 +264,11 @@ def streamed_vs_offline(cfg: RNNTConfig, params, tokenizer, utterances,
     estimate).  Returns (offline_wer, streamed_wer, details) where details
     is [(ref, offline_text, streamed_text)] — BASELINE.md records the delta
     over the held-out synthetic test set.
+
+    Host memory is proportional to the utterance set (raw audio is buffered
+    between the offline and streaming phases; `utterances` may be a
+    one-shot generator).  This is an eval-set harness — bound it with the
+    caller's max_utts, not a whole training corpus.
     """
     from rnnt_tpu.data.tokenizer import normalize_text
     from rnnt_tpu.decode.greedy import greedy_decode

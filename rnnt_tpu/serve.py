@@ -133,12 +133,15 @@ class TranscriptionService:
         t0 = time.perf_counter()
         feat = self.cfg.input_feat_size
         if t_pads is None:
-            # every power-of-two bucket transcribe() can route to, so no
-            # accepted request ever hits a cold compile under the device
-            # lock (a fixed list capped at 512 left buckets between 512 and
-            # a larger --max_frames accepted-but-unwarmed)
-            t_pads = [1 << p for p in range(6, self.max_t_pad.bit_length())
-                      if (1 << p) <= self.max_t_pad]
+            # every bucket transcribe() can route to — the 64-frame floor
+            # plus each power of two up to max_t_pad — so no accepted
+            # request ever hits a cold compile under the device lock (a
+            # fixed list capped at 512 left buckets between 512 and a
+            # larger --max_frames accepted-but-unwarmed)
+            t_pads = sorted(
+                {min(64, self.max_t_pad)}
+                | {1 << p for p in range(7, self.max_t_pad.bit_length())
+                   if (1 << p) <= self.max_t_pad})
         for beam in beams:
             for t_pad in t_pads:
                 mel = jnp.zeros((1, t_pad, feat), jnp.float32)
@@ -167,15 +170,17 @@ class TranscriptionService:
             if beam > 0:
                 from rnnt_tpu.decode.beam import beam_search_decode
 
-                # XLA beam for serving: (a) int8 {"q","s"} leaves feed its
-                # qdot-routed pred/joint steps (the Pallas kernel needs fp
-                # weights), and (b) the Pallas beam kernel hits a Mosaic
-                # compile failure at the B=1 shapes serving uses (round-4
-                # finding; batch evals at B>=2 are unaffected).  Measured
-                # WER-identical to the Pallas beam (BASELINE.md round-4
-                # table), and single-utterance latency is round-trip-bound,
-                # not kernel-bound.
-                impl = "xla"
+                # Beam backend: the single-kernel Pallas search (4.7x the
+                # XLA loop at batch, measured WER-identical) for fp
+                # weights; int8 {"q","s"} leaves route through the XLA
+                # beam, whose qdot-aware pred/joint steps consume them
+                # directly.  The round-4 Mosaic compile failure at B=1 is
+                # fixed by sublane-tile batch padding in the kernel wrapper
+                # (ops/beam_pallas.py), so serving's B=1 shape now uses the
+                # framework's best decoder.
+                # "auto" = pallas on TPU, xla on CPU (interpret-mode Pallas
+                # would crawl in CPU deployments/tests)
+                impl = "xla" if self.int8_exec else "auto"
 
                 @jax.jit
                 def fn(params, mel, sl):
@@ -205,7 +210,12 @@ class TranscriptionService:
         mel = np.asarray(F.preprocess_audio(
             jnp.asarray(audio, jnp.float32), self.cfg))
         t = max(1, mel.shape[0])
-        t_pad = 1 << (t - 1).bit_length()  # power-of-two buckets
+        # power-of-two buckets, floored at 64 frames: short utterances
+        # otherwise route to tiny buckets (1..32) that warmup() never
+        # pre-compiled, paying a cold compile under the device lock; the
+        # floor keeps the reachable bucket set == the warmed set (min()
+        # guards a sub-64 --max_frames)
+        t_pad = max(min(64, self.max_t_pad), 1 << (t - 1).bit_length())
         if t_pad > self.max_t_pad:
             raise AudioTooLongError(
                 f"utterance of {t} frames exceeds the largest supported "

@@ -181,9 +181,12 @@ class AsyncSaver:
             os.path.join(ckpt_dir, f"checkpoint_{step:08d}")) + ".orbax"
         if jax.process_index() == 0:
             cfg.save(ckpt_dir)
-            cut = keep - 1  # old ones to keep; the new save makes `keep`
-            old = _orbax_steps(ckpt_dir)
-            for s in (old[:-cut] if cut > 0 else old):
+            # prune down to the newest `keep` COMMITTED checkpoints only —
+            # the new save hasn't committed yet (its write is async), so it
+            # must not count toward the quota: pruning for it here would
+            # leave ZERO checkpoints at keep=1 if this process dies before
+            # the background commit lands.  Disk transiently holds keep+1.
+            for s in _orbax_steps(ckpt_dir)[:-keep]:
                 shutil.rmtree(os.path.join(
                     ckpt_dir, f"checkpoint_{s:08d}.orbax"), ignore_errors=True)
         self._ocp.save(path, state)

@@ -153,14 +153,20 @@ def test_async_saver_orbax_backend(tmp_path):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=1e-6)
 
-    # two more saves on the same saver: keep=2 prunes step 0
+    # more saves on the same saver: pruning only ever drops COMMITTED
+    # checkpoints beyond keep — the in-flight save never counts toward the
+    # quota (a crash before its commit must still leave `keep` on disk)
     for s in (5, 9):
         saver.save(out, restored._replace(
             step=jnp.asarray(s, jnp.int32)), CFG, backend="orbax", keep=2)
     saver.wait()
-    assert ckpt_mod._orbax_steps(out) == [5, 9]
+    assert ckpt_mod._orbax_steps(out) == [0, 5, 9]  # 9 didn't count at save
+    saver.save(out, restored._replace(
+        step=jnp.asarray(12, jnp.int32)), CFG, backend="orbax", keep=2)
+    saver.wait()
+    assert ckpt_mod._orbax_steps(out) == [5, 9, 12]
     assert int(np.asarray(
-        ckpt_mod.restore_checkpoint(out, CFG).step)) == 9
+        ckpt_mod.restore_checkpoint(out, CFG).step)) == 12
 
 
 def test_init_from_checkpoint_warm_start(tmp_path):
