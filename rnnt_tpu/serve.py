@@ -133,15 +133,7 @@ class TranscriptionService:
         t0 = time.perf_counter()
         feat = self.cfg.input_feat_size
         if t_pads is None:
-            # every bucket transcribe() can route to — the 64-frame floor
-            # plus each power of two up to max_t_pad — so no accepted
-            # request ever hits a cold compile under the device lock (a
-            # fixed list capped at 512 left buckets between 512 and a
-            # larger --max_frames accepted-but-unwarmed)
-            t_pads = sorted(
-                {min(64, self.max_t_pad)}
-                | {1 << p for p in range(7, self.max_t_pad.bit_length())
-                   if (1 << p) <= self.max_t_pad})
+            t_pads = self.default_warmup_buckets()
         for beam in beams:
             for t_pad in t_pads:
                 mel = jnp.zeros((1, t_pad, feat), jnp.float32)
@@ -160,6 +152,17 @@ class TranscriptionService:
                 st.process_chunk(np.zeros(stream_chunk, np.float32))
             st.flush()
         return time.perf_counter() - t0
+
+    def default_warmup_buckets(self):
+        """Every bucket transcribe() can route an accepted utterance to —
+        the 64-frame floor plus each power of two up to max_t_pad — so no
+        accepted request ever hits a cold compile under the device lock (a
+        fixed list capped at 512 left buckets between 512 and a larger
+        --max_frames accepted-but-unwarmed)."""
+        return sorted(
+            {min(64, self.max_t_pad)}
+            | {1 << p for p in range(7, self.max_t_pad.bit_length())
+               if (1 << p) <= self.max_t_pad})
 
     def _decoder(self, beam: int, t_pad: int):
         import jax

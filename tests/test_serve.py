@@ -155,6 +155,25 @@ def test_warmup_precompiles(served):
     assert secs >= 0.0
 
 
+def test_warmup_covers_every_reachable_bucket(served):
+    """Every bucket transcribe() can route an accepted utterance to must be
+    in the default warmup list — a bucket outside it pays a cold compile
+    under the global device lock (ADVICE r4: short utterances hit tiny
+    unwarmed buckets; --max_frames > 512 left 1024+ unwarmed)."""
+    svc = served[0].service
+    for max_t_pad in (32, 64, 512, 2048):
+        svc.max_t_pad = max_t_pad
+        warmed = svc.default_warmup_buckets()
+        # reachable = what transcribe computes for every accepted t
+        reachable = set()
+        for t in range(1, max_t_pad + 1):
+            t_pad = max(min(64, max_t_pad), 1 << (t - 1).bit_length())
+            if t_pad <= max_t_pad:
+                reachable.add(t_pad)
+        assert reachable <= set(warmed), (max_t_pad, reachable, warmed)
+    svc.max_t_pad = 512
+
+
 def test_http_body_cap(served):
     """A hostile Content-Length is rejected (413) before any read."""
     srv, _ = served
