@@ -99,8 +99,8 @@ def main(argv=None):
                                            int8_exec_params, quantize_params)
 
         q = quantize_params(params)
-        deq = dequantize_params(q, dt)
-        mixed = int8_exec_params(q, dt)
+        deq = dequantize_params(q, dt, template=params)
+        mixed = int8_exec_params(q, dt, template=params)
 
         def _wbytes(tree):
             import jax as _j

@@ -233,9 +233,13 @@ def main(argv=None):
                 sys.exit("--int8_exec is an inference path: use --mode "
                          "eval/test (beam decode routes through the XLA "
                          "beam's int8-aware pred/joint steps)")
-            state = state._replace(params=int8_exec_params(q, dtype))
+            state = state._replace(
+                params=int8_exec_params(q, dtype, template=state.params))
         else:
-            state = state._replace(params=dequantize_params(q, dtype))
+            # template: dtype-identical to the fp checkpoint tree, so the
+            # jitted eval/decode programs reuse its compile-cache entries
+            state = state._replace(
+                params=dequantize_params(q, dtype, template=state.params))
 
     # device mesh; single chip degrades to a 1x1 mesh (run_rnnt.py:123-127)
     mesh = make_mesh(data=-1, model=args.model_parallel)

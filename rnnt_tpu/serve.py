@@ -102,8 +102,11 @@ class TranscriptionService:
 
             q = load_quantized(quantized, self.state.params)
             self.state = self.state._replace(
-                params=(int8_exec_params(q, dtype) if self.int8_exec
-                        else dequantize_params(q, dtype)))
+                params=(int8_exec_params(q, dtype,
+                                         template=self.state.params)
+                        if self.int8_exec
+                        else dequantize_params(q, dtype,
+                                               template=self.state.params)))
         self.model = Transducer(self.cfg)
         self.backend = jax.default_backend()  # not per-request (info())
         self.max_t_pad = int(max_t_pad)

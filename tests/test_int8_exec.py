@@ -77,6 +77,36 @@ def test_int8_exec_params_scopes_tree():
     assert act_dtype(mixed["joint"]["w2"]) == jnp.float32
 
 
+def test_dequantize_template_matches_leaf_dtypes():
+    """With template=, the dequantized tree's leaf dtypes are IDENTICAL to
+    the live tree's — including bf16 passthrough leaves the npz stored as
+    fp32 and the fp32 batchnorm stats kept fp32 under bf16.  Dtype drift
+    here changes the HLO of every downstream program and silently defeats
+    the persistent compile cache (measured 259.7 s vs 8.6 s warm for the
+    parity beam eval, round 5)."""
+    cfg = tiny_config()
+    params = init_transducer_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    assert params["encoder"]["bn"]["mean"].dtype == jnp.float32  # mixed tree
+    q = quantize_params(params)
+
+    deq = dequantize_params(q, jnp.bfloat16, template=params)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(deq)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0]):
+        assert a.dtype == b.dtype, (jax.tree_util.keystr(pa), a.dtype, b.dtype)
+
+    mixed = int8_exec_params(q, jnp.bfloat16, template=params)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            mixed, is_leaf=is_quant)[0]:
+        if is_quant(leaf):
+            continue
+        want = params
+        for k in path:
+            want = want[getattr(k, "key", getattr(k, "idx", None))]
+        assert leaf.dtype == want.dtype, (jax.tree_util.keystr(path),
+                                          leaf.dtype, want.dtype)
+
+
 def test_int8_exec_forward_close_and_greedy_runs():
     """Full model forward with int8 pred+joint: logits near fp, decode runs."""
     cfg = tiny_config()
