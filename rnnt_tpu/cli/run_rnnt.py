@@ -65,7 +65,10 @@ def parse_args(argv=None):
                    help="fused = joint+loss Pallas kernel (exact, memory-"
                         "capped); banded = pruned label window around the "
                         "alignment diagonal (~1.5x faster, lower-bound "
-                        "objective, width = config loss_band); ref/pallas "
+                        "objective, width = config loss_band) — quality-"
+                        "parity at 124M params (BASELINE banded A/B) and "
+                        "the recommended training default when the band "
+                        "covers the alignment spread; ref/pallas "
                         "materialize the lattice")
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
                    help="eval-time decoder (beam: BASELINE config #3)")
@@ -117,8 +120,12 @@ def parse_args(argv=None):
 def _load_config(args):
     from rnnt_tpu.config import RNNTConfig
 
-    # config travels with checkpoint > data_dir > defaults (run_rnnt.py:137-167)
-    for src in [args.checkpoint, args.data_dir]:
+    # config travels with checkpoint > data_dir > defaults (run_rnnt.py:137-167).
+    # A step dir (checkpoint_NNNNNNNN/) holds only state.npz — its run dir
+    # owns the sidecar, so a pinned-step eval finds the training config too.
+    ckpt_parent = (os.path.dirname(os.path.abspath(args.checkpoint))
+                   if args.checkpoint else None)
+    for src in [args.checkpoint, ckpt_parent, args.data_dir]:
         if src and os.path.exists(os.path.join(src, "config.json")):
             cfg = RNNTConfig.load(src)
             break
@@ -187,18 +194,28 @@ def main(argv=None):
     cfg = _load_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    # tokenizer travels with checkpoint/data dir (run_rnnt.py:456-467)
-    tok_src = args.checkpoint if (
-        args.checkpoint and os.path.exists(
-            os.path.join(args.checkpoint, SUBWORD_FILENAME))) else args.data_dir
+    # tokenizer travels with checkpoint/data dir (run_rnnt.py:456-467);
+    # pinned-step checkpoint dirs defer to their run dir, like the config
+    tok_src = args.data_dir
+    if args.checkpoint:
+        for cand in [args.checkpoint,
+                     os.path.dirname(os.path.abspath(args.checkpoint))]:
+            if os.path.exists(os.path.join(cand, SUBWORD_FILENAME)):
+                tok_src = cand
+                break
     tokenizer = get_tokenizer(tok_src, cfg.token_type, cfg.vocab_size)
-    if cfg.token_type == "word-piece" and jax.process_index() == 0:
+    if (cfg.token_type == "word-piece" and jax.process_index() == 0
+            and args.mode == "train"):
         src = os.path.join(tok_src, SUBWORD_FILENAME)
         dst = os.path.join(args.output_dir, SUBWORD_FILENAME)
         if os.path.abspath(src) != os.path.abspath(dst):
             shutil.copy(src, dst)
     cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
-    if jax.process_index() == 0:  # one writer for shared-storage sidecars
+    # sidecars are TRAINING provenance: an eval/test run pointed at a run dir
+    # must never rewrite them (an eval invoked without the run's
+    # --config_override would silently replace the recorded recipe with
+    # defaults, breaking every later pinned-step restore)
+    if jax.process_index() == 0 and args.mode == "train":
         cfg.save(args.output_dir)
 
     if args.model_parallel > 1 and cfg.lstm_impl == "auto":

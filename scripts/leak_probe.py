@@ -147,10 +147,59 @@ def probe_train(rec: Recorder, iters: int):
     rec.summary("train", first, last, iters)
 
 
+def probe_backend_recycle(rec: Recorder, iters: int):
+    """Does tearing down the backend reclaim the tunnel client's leak?
+
+    Runs the device_put transfer loop in phases of iters/3, calling
+    jax.clear_backends() between phases.  If the leaked buffers are held
+    alive by the client object, RssAnon drops at each recycle and an
+    in-process backend recycle (fetch state -> clear -> re-put, piggybacked
+    on a checkpoint boundary) is a cheaper bound than the drives' full
+    process recycle.  If RSS stays flat across the clear, the memory is
+    leaked unreferenced and only a process recycle reclaims it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    phase_iters = max(1, iters // 3)
+    first = last = None
+    n = 0
+    for phase in range(3):
+        fold = jax.jit(lambda m, p: (jnp.asarray(m, jnp.float32).sum()
+                                     + p.sum()).astype(jnp.float32))
+        for i in range(phase_iters):
+            mel = rng.standard_normal((32, 192, 240)).astype(np.float32)
+            pred = rng.integers(0, 64, (32, 65)).astype(np.int32)
+            loss = float(fold(jax.device_put(mel), jax.device_put(pred)))
+            assert np.isfinite(loss)
+            if i % 10 == 0:
+                r = rec.sample("backend_recycle", n)
+                first = first if first is not None else r["rss_anon_kb"]
+                last = r["rss_anon_kb"]
+            n += 1
+        from jax.extend.backend import clear_backends
+
+        before = rss_anon_kb()
+        jax.clear_caches()
+        clear_backends()
+        after = rss_anon_kb()
+        rec.f.write(json.dumps(
+            {"probe": "backend_recycle", "event": "clear_backends",
+             "phase": phase, "rss_before_kb": before, "rss_after_kb": after,
+             "reclaimed_mb": round((before - after) / 1024.0, 1)}) + "\n")
+        rec.f.flush()
+        print(f"[backend_recycle] phase {phase} clear_backends: "
+              f"{before/1024:.0f} -> {after/1024:.0f} MB "
+              f"(reclaimed {(before-after)/1024:.1f} MB)")
+    rec.summary("backend_recycle", first, last, n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", default="all",
-                    choices=["all", "pipeline", "device_put", "train"])
+                    choices=["all", "pipeline", "device_put", "train",
+                             "backend_recycle"])
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--data_dir", default="/root/endurance/data",
                     help="shard dir for the pipeline probe (synthetic "
@@ -170,6 +219,8 @@ def main():
         probe_device_put(rec, args.iters)
     if args.probe in ("all", "train"):
         probe_train(rec, args.iters)
+    if args.probe == "backend_recycle":  # opt-in: tears down the backend
+        probe_backend_recycle(rec, args.iters)
 
 
 if __name__ == "__main__":

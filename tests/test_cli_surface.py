@@ -90,6 +90,31 @@ def test_run_rnnt_eval_cli(data_dir, run_dir, capsys):
     assert "eval_loss=" in out and "eval_wer=" in out
 
 
+def test_run_rnnt_eval_pinned_step_preserves_sidecar(data_dir, run_dir,
+                                                    capsys):
+    """Eval a SPECIFIC checkpoint_NNNN dir without re-passing the training
+    overrides: the config/tokenizer sidecars must resolve from the step
+    dir's parent run dir, and the eval must NOT rewrite the run dir's
+    sidecar (a clobber would replace the recorded recipe with defaults and
+    break every later restore of this run)."""
+    from rnnt_tpu.cli import run_rnnt
+
+    step_dir = sorted(p for p in os.listdir(run_dir)
+                      if p.startswith("checkpoint_") and
+                      not p.endswith(".orbax"))[-1]
+    sidecar = os.path.join(run_dir, "config.json")
+    before = open(sidecar).read()
+    assert '"encoder_layers": 2' in before  # the recipe the run recorded
+    run_rnnt.main(["--mode", "test", "--data_dir", str(data_dir),
+                   "--output_dir", str(run_dir),
+                   "--checkpoint", os.path.join(str(run_dir), step_dir),
+                   "--batch_size", "8", "--no-bf16"])
+    out = capsys.readouterr().out
+    assert "eval_wer=" in out
+    assert open(sidecar).read() == before, \
+        "eval rewrote the training config sidecar"
+
+
 def test_quantize_model_cli(run_dir, capsys):
     from rnnt_tpu.cli import quantize_model
 
