@@ -53,13 +53,16 @@ def main(argv=None):
 
         from rnnt_tpu.compile_cache import enable_compile_cache
         from rnnt_tpu.data import librispeech
-        from rnnt_tpu.data.tokenizer import get_tokenizer
+        from rnnt_tpu.data.tokenizer import (SUBWORD_FILENAME,
+                                              get_tokenizer)
         from rnnt_tpu.decode.streaming import streamed_vs_offline
         from rnnt_tpu.train import checkpoint as ckpt_mod
 
         enable_compile_cache()
         cfg = ckpt_mod.load_config(args.checkpoint)
-        tok = get_tokenizer(args.checkpoint, cfg.token_type, cfg.vocab_size)
+        tok = get_tokenizer(
+            ckpt_mod.sidecar_dir(args.checkpoint, SUBWORD_FILENAME),
+            cfg.token_type, cfg.vocab_size)
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg, dtype)
         utts = librispeech.load_dataset(args.audio_dir, [args.split])

@@ -32,12 +32,13 @@ def main(argv=None):
     from rnnt_tpu.compile_cache import enable_compile_cache
     enable_compile_cache()
 
-    from rnnt_tpu.data.tokenizer import get_tokenizer
+    from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
     from rnnt_tpu.decode.streaming import StreamingTranscriber
     from rnnt_tpu.train import checkpoint as ckpt_mod
 
     cfg = ckpt_mod.load_config(args.checkpoint)
-    tokenizer = get_tokenizer(args.checkpoint, cfg.token_type, cfg.vocab_size)
+    tokenizer = get_tokenizer(ckpt_mod.sidecar_dir(
+        args.checkpoint, SUBWORD_FILENAME), cfg.token_type, cfg.vocab_size)
     state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg)
     transcriber = StreamingTranscriber(cfg, state.params, tokenizer)
 

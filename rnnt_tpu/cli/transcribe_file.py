@@ -32,7 +32,7 @@ def main(argv=None):
     enable_compile_cache()
 
     from rnnt_tpu.data.audio_io import read_audio
-    from rnnt_tpu.data.tokenizer import get_tokenizer
+    from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
     from rnnt_tpu.models.transducer import Transducer
     from rnnt_tpu.ops.features import preprocess_audio
     from rnnt_tpu.train import checkpoint as ckpt_mod
@@ -40,7 +40,8 @@ def main(argv=None):
     # hparams + tokenizer + weights all from the checkpoint dir
     # (transcribe_file.py:16-26)
     cfg = ckpt_mod.load_config(args.checkpoint)
-    tokenizer = get_tokenizer(args.checkpoint, cfg.token_type, cfg.vocab_size)
+    tokenizer = get_tokenizer(ckpt_mod.sidecar_dir(
+        args.checkpoint, SUBWORD_FILENAME), cfg.token_type, cfg.vocab_size)
     state = ckpt_mod.restore_checkpoint(args.checkpoint, cfg)
     model = Transducer(cfg)
 

@@ -79,13 +79,14 @@ class TranscriptionService:
         import jax
         import jax.numpy as jnp
 
-        from rnnt_tpu.data.tokenizer import get_tokenizer
+        from rnnt_tpu.data.tokenizer import SUBWORD_FILENAME, get_tokenizer
         from rnnt_tpu.models.transducer import Transducer
         from rnnt_tpu.train import checkpoint as ckpt_mod
 
         self.cfg = ckpt_mod.load_config(checkpoint_dir)
         self.tokenizer = get_tokenizer(
-            checkpoint_dir, self.cfg.token_type, self.cfg.vocab_size)
+            ckpt_mod.sidecar_dir(checkpoint_dir, SUBWORD_FILENAME),
+            self.cfg.token_type, self.cfg.vocab_size)
         if dtype is None:
             dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                      else jnp.float32)

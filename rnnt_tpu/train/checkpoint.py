@@ -291,9 +291,22 @@ def restore_checkpoint(path_or_dir: str, cfg: RNNTConfig,
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def sidecar_dir(ckpt_dir: str, filename: str = "config.json") -> str:
+    """Dir that owns the checkpoint's sidecars (config.json, tokenizer).
+
+    A pinned-step dir (run/checkpoint_NNNNNNNN) holds only state.npz; its
+    run dir owns the sidecars — resolve from the parent so every
+    checkpoint-consuming CLI accepts either form."""
+    if not os.path.exists(os.path.join(ckpt_dir, filename)):
+        parent = os.path.dirname(os.path.abspath(ckpt_dir))
+        if os.path.exists(os.path.join(parent, filename)):
+            return parent
+    return ckpt_dir
+
+
 def load_config(ckpt_dir: str) -> RNNTConfig:
     """Config travels with the checkpoint (run_rnnt.py:137-140)."""
-    return RNNTConfig.load(ckpt_dir)
+    return RNNTConfig.load(sidecar_dir(ckpt_dir))
 
 
 def init_from_checkpoint(path_or_dir: str, cfg: RNNTConfig, dtype=None,

@@ -133,6 +133,21 @@ def test_streaming_transcribe_cli(ls_corpus, run_dir, capsys):
     assert "FINAL:" in capsys.readouterr().out
 
 
+def test_transcribe_file_pinned_step_checkpoint(ls_corpus, run_dir, capsys):
+    """Every checkpoint-consuming CLI accepts a pinned-step dir
+    (run/checkpoint_NNNNNNNN): config + tokenizer sidecars resolve from the
+    parent run dir via checkpoint.sidecar_dir."""
+    from rnnt_tpu.cli import transcribe_file
+
+    step_dir = sorted(p for p in os.listdir(run_dir)
+                      if p.startswith("checkpoint_") and
+                      not p.endswith(".orbax"))[-1]
+    wav = str(ls_corpus / "test-mini" / "1" / "10" / "1-10-0000.wav")
+    transcribe_file.main(["--checkpoint",
+                          os.path.join(str(run_dir), step_dir), "-i", wav])
+    capsys.readouterr()  # undertrained transcript may be blank; no crash
+
+
 def test_corpus_stats_cli(ls_corpus, capsys):
     from rnnt_tpu.cli import corpus_stats
 
